@@ -1,0 +1,512 @@
+"""Host-side augmentation with API parity to reference
+``mindaudio.data.augment`` (augment.py:13-25 ``__all__``).
+
+Randomness: every stochastic op accepts an optional ``rng``
+(``np.random.Generator``) for determinism; when omitted the global NumPy RNG is
+used, matching the reference. Batched, PRNG-keyed on-device SpecAugment lives
+in ``mindaudio_tpu.ops.specaugment`` — that is the training-time fast path,
+these are the host/dataprep versions.
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+
+import numpy as np
+
+from .filters import notch_filter
+from .io import read
+from .processing import resample, rescale
+from .spectrum import compute_amplitude, dB_to_amplitude, istft, stft
+
+__all__ = [
+    "frequencymasking",
+    "timemasking",
+    "reverberate",
+    "convolve1d",
+    "add_noise",
+    "add_reverb",
+    "add_babble",
+    "drop_freq",
+    "speed_perturb",
+    "drop_chunk",
+    "time_stretch",
+    "pitch_shift",
+    "rms_normalize",
+    "caculate_rms",
+]
+
+
+def _mask_along_axis(spec, mask_param, mask_start, mask_value, axis, iid_masks, rng):
+    """Shared SpecAugment masking (torchaudio Frequency/TimeMasking semantics).
+
+    ``axis``: -2 = frequency, -1 = time, on input shaped ``(..., freq, time)``.
+    With ``iid_masks`` a different mask is drawn per batch element; otherwise
+    one random-width mask at a random start (``mask_start`` is only honored in
+    the iid branch, like msaudio).
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    spec = np.array(spec, copy=True)
+    if mask_param == 0:
+        return spec
+    axis_len = spec.shape[axis]
+
+    def apply_one(block):
+        width = int(rng.integers(0, mask_param + 1))
+        if iid_masks:
+            start = int(mask_start)
+        else:
+            start = int(rng.integers(0, max(axis_len - width, 0) + 1))
+        if width == 0:
+            return block
+        sl = [slice(None)] * block.ndim
+        sl[axis] = slice(start, start + width)
+        block[tuple(sl)] = mask_value
+        return block
+
+    if iid_masks and spec.ndim > 2:
+        for i in range(spec.shape[0]):
+            spec[i] = apply_one(spec[i])
+        return spec
+    return apply_one(spec)
+
+
+def frequencymasking(
+    waveform, iid_masks=False, frequency_mask_param=0, mask_start=0, mask_value=0.0, rng=None
+):
+    """Mask a random band of frequency bins in a spectrogram ``(..., freq, time)``.
+
+    Parity: reference augment.py:28 (msaudio.FrequencyMasking).
+    """
+    return _mask_along_axis(
+        waveform, frequency_mask_param, mask_start, mask_value, -2, iid_masks, rng
+    )
+
+
+def timemasking(
+    waveform, iid_masks=False, frequency_mask_param=0, mask_start=0, mask_value=0.0, rng=None
+):
+    """Mask a random band of time frames in a spectrogram ``(..., freq, time)``.
+
+    Parity: reference augment.py:65 (msaudio.TimeMasking).
+    """
+    return _mask_along_axis(
+        waveform, frequency_mask_param, mask_start, mask_value, -1, iid_masks, rng
+    )
+
+
+def convolve1d(
+    waveforms,
+    kernel,
+    padding=0,
+    pad_type="constant",
+    stride=1,
+    groups=1,
+    use_fft=True,
+    rotation_index=0,
+):
+    """1-D convolution of ``(batch, time, channel)``-style signals.
+
+    FFT path multiplies spectra after rotating the kernel by ``rotation_index``
+    (circular convolution aligned to the RIR direct path); the direct path uses
+    ``np.convolve`` in 'valid' mode. Accepts 1-D/2-D/3-D inputs like the
+    reference (augment.py:177), which always convolves with a single kernel.
+    """
+    waveforms = np.asarray(waveforms)
+    kernel = np.asarray(kernel)
+    n_dim = waveforms.ndim
+    if n_dim == 1:
+        waveforms = waveforms[None, :, None]
+    elif n_dim == 2:
+        waveforms = waveforms[..., None]
+    if kernel.ndim == 1:
+        kernel = kernel[None, :, None]
+    elif kernel.ndim == 2:
+        kernel = kernel[..., None]
+
+    waveforms = np.transpose(waveforms, (0, 2, 1))  # (batch, channel, time)
+    kernel = np.transpose(kernel, (0, 2, 1))
+
+    if isinstance(padding, tuple):
+        waveforms = np.pad(
+            waveforms, [(0, 0), (0, 0), (padding[0], padding[-1])], mode=pad_type
+        )
+
+    if use_fft:
+        zero_length = waveforms.shape[-1] - kernel.shape[-1]
+        if zero_length < 0:
+            kernel = kernel[..., :zero_length]
+            zero_length = 0
+        zeros = np.zeros((kernel.shape[0], kernel.shape[1], zero_length))
+        kernel = np.concatenate(
+            (kernel[..., rotation_index:], zeros, kernel[..., :rotation_index]), axis=-1
+        )
+        convolved = np.fft.irfft(
+            np.fft.rfft(waveforms) * np.fft.rfft(kernel), n=waveforms.shape[-1]
+        )
+    else:
+        k = kernel.reshape(-1)[::-1]  # np.convolve correlates with flipped kernel
+        flat = waveforms.reshape(-1, waveforms.shape[-1])
+        rows = [np.convolve(row, k[::-1], mode="valid")[::stride] for row in flat]
+        convolved = np.stack(rows).reshape(waveforms.shape[:-1] + (-1,))
+
+    if n_dim == 1:
+        return convolved[0, 0]
+    if n_dim == 2:
+        return convolved[:, 0]
+    return np.transpose(convolved, (0, 2, 1))
+
+
+def reverberate(waveforms, rir_waveform, rescale_amp="avg"):
+    """Convolve with a Room Impulse Response, preserving alignment and level.
+
+    The RIR is rotated so its direct path (argmax) lands at lag zero, the FFT
+    circular convolution is applied, and the result is rescaled to the original
+    amplitude. Parity: reference augment.py:101.
+    """
+    waveforms = np.asarray(waveforms)
+    rir_waveform = np.asarray(rir_waveform)
+    orig_shape = waveforms.shape
+    if waveforms.ndim > 3 or rir_waveform.ndim > 3:
+        raise NotImplementedError
+
+    if waveforms.ndim == 1:
+        waveforms = waveforms[None, :, None]
+    elif waveforms.ndim == 2:
+        waveforms = waveforms[..., None]
+    if rir_waveform.ndim == 1:
+        rir_waveform = rir_waveform[None, :, None]
+    elif rir_waveform.ndim == 2:
+        rir_waveform = rir_waveform[..., None]
+
+    orig_amplitude = compute_amplitude(waveforms, waveforms.shape[1], rescale_amp)
+    direct_index = int(np.argmax(np.abs(rir_waveform)))
+
+    waveforms = convolve1d(
+        waveforms=waveforms,
+        kernel=rir_waveform,
+        use_fft=True,
+        rotation_index=direct_index,
+    )
+
+    if len(orig_shape) == 1:
+        waveforms = waveforms[0, :, 0]
+        lengths = len(waveforms)
+        target = float(np.squeeze(orig_amplitude))
+    elif len(orig_shape) == 2:
+        waveforms = waveforms[..., 0]
+        lengths = waveforms.shape[1]
+        target = orig_amplitude[..., 0]
+    else:
+        lengths = waveforms.shape[1]
+        target = orig_amplitude
+
+    return rescale(waveforms, target, lengths=lengths, amp_type=rescale_amp)
+
+
+def rms_normalize(samples):
+    """Scale to unit RMS over the whole array (reference augment.py:282)."""
+    rms = np.sqrt(np.square(samples).mean(keepdims=True))
+    return samples / (rms + 1e-8)
+
+
+def caculate_rms(samples):
+    """RMS along the last axis (reference augment.py:296)."""
+    return np.sqrt(np.square(samples).mean(axis=-1, keepdims=False))
+
+
+def add_noise(samples, backgroundlist, min_snr_in_db, max_snr_in_db, mix_prob=1.0, rng=None):
+    """Mix randomly-chosen background files into the batch at a sampled SNR.
+
+    Background clips are concatenated (RMS-normalized) until they cover the
+    signal length, scaled to the target SNR against each item's RMS, and added.
+    Parity: reference augment.py:310.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    samples = np.asarray(samples)
+    if rng.random() > mix_prob:
+        return samples
+
+    n_dim = samples.ndim
+    if n_dim > 3:
+        raise NotImplementedError
+    if n_dim == 1:
+        samples = samples[None, None, :]
+    elif n_dim == 2:
+        samples = samples[:, None, :]
+    _, _, sample_length = samples.shape
+
+    missing = sample_length
+    pieces = []
+    while missing > 0:
+        path = backgroundlist[int(rng.integers(0, len(backgroundlist)))]
+        noise_audio, _ = read(path)
+        if noise_audio.ndim > 1:
+            noise_audio = noise_audio.mean(axis=-1)
+        if len(noise_audio) > missing:
+            pieces.append(rms_normalize(noise_audio[:missing]))
+            missing = 0
+        else:
+            pieces.append(rms_normalize(noise_audio))
+            missing -= len(noise_audio)
+    background = rms_normalize(np.concatenate(pieces).reshape(1, sample_length))
+
+    sample_rms = caculate_rms(samples)
+    snr = rng.uniform(min_snr_in_db, max_snr_in_db, 1)
+    background_scale = sample_rms / (10 ** (snr / 20))
+    noisy = samples + background[None] * background_scale[..., None]
+
+    if n_dim == 1:
+        return noisy[0, 0]
+    if n_dim == 2:
+        return noisy[:, 0]
+    return noisy
+
+
+def add_reverb(samples, rirlist, reverb_prob=1.0, rng=None):
+    """Reverberate with a randomly-chosen RIR file (reference augment.py:383)."""
+    rng = np.random.default_rng() if rng is None else rng
+    samples = np.asarray(samples)
+    if rng.random() > reverb_prob:
+        return samples
+
+    orig_ndim = samples.ndim
+    if orig_ndim > 3:
+        raise NotImplementedError
+    if orig_ndim == 2:
+        x = samples[..., None]
+    elif orig_ndim == 3:
+        batch, channel, times = samples.shape
+        x = samples.reshape(batch * channel, times)[..., None]
+    else:
+        x = samples
+
+    rir_path = rirlist[int(rng.integers(0, len(rirlist)))]
+    rir_waveform, _ = read(rir_path)
+    res = reverberate(x, rir_waveform)
+
+    if orig_ndim == 3:
+        return res[..., 0].reshape(batch, channel, times)
+    if orig_ndim == 2:
+        return res[..., 0]
+    return np.asarray(res)[0] if np.asarray(res).ndim > 1 else res
+
+
+def add_babble(waveforms, lengths, speaker_count=3, snr_low=0, snr_high=0, mix_prob=1.0, rng=None):
+    """Simulate babble by mixing rolled copies of the batch into each signal.
+
+    Parity: reference augment.py:433.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    waveforms = np.asarray(waveforms)
+    babbled = waveforms.copy()
+    lengths = np.expand_dims(np.asarray(lengths) * waveforms.shape[1], axis=1)
+    batch_size = len(waveforms)
+
+    if rng.random() > mix_prob:
+        return babbled
+
+    clean_amplitude = compute_amplitude(waveforms, lengths)
+    snr = rng.random((batch_size, 1)) * (snr_high - snr_low) + snr_low
+    noise_amplitude_factor = 1 / (dB_to_amplitude(snr, 1, 1) + 1)
+    new_noise_amplitude = noise_amplitude_factor * clean_amplitude
+
+    babbled *= 1 - noise_amplitude_factor
+
+    babble_waveform = np.roll(waveforms, 1, axis=0)
+    babble_len = np.roll(lengths, 1, axis=0)
+    for i in range(1, speaker_count):
+        babble_waveform += np.roll(waveforms, 1 + i, axis=0)
+        babble_len = np.maximum(babble_len, np.roll(babble_len, 1, axis=0))
+
+    babble_amplitude = compute_amplitude(babble_waveform, babble_len)
+    babble_waveform *= new_noise_amplitude / (babble_amplitude + 1e-14)
+    return babbled + babble_waveform
+
+
+def drop_freq(
+    waveforms,
+    drop_freq_low=1e-14,
+    drop_freq_high=1,
+    drop_count_low=1,
+    drop_count_high=2,
+    drop_width=0.05,
+    drop_prob=1,
+    rng=None,
+):
+    """Notch out 1-2 random frequency bands (reference augment.py:512)."""
+    rng = np.random.default_rng() if rng is None else rng
+    waveforms = np.asarray(waveforms)
+    orig_ndim = waveforms.ndim
+    dropped = waveforms.copy()
+    if rng.random() > drop_prob:
+        return dropped
+
+    if orig_ndim == 1:
+        dropped = dropped[None, :, None]
+    elif orig_ndim == 2:
+        dropped = dropped[..., None]
+
+    drop_count = int(rng.integers(drop_count_low, drop_count_high + 1))
+    drop_range = drop_freq_high - drop_freq_low
+    drop_frequency = rng.random(drop_count) * drop_range + drop_freq_low
+
+    filter_length = 101
+    pad = filter_length // 2
+    drop_filter = np.zeros([1, filter_length, 1])
+    drop_filter[0, pad, 0] = 1
+
+    for frequency in drop_frequency:
+        notch_kernel = notch_filter(frequency, filter_length, drop_width)
+        drop_filter = convolve1d(drop_filter, notch_kernel, pad)
+
+    dropped = convolve1d(dropped, drop_filter, pad)
+
+    if orig_ndim == 2:
+        return dropped[..., 0]
+    if orig_ndim == 1:
+        return dropped[0, :, 0] if dropped.ndim == 3 else dropped
+    return dropped
+
+
+def speed_perturb(waveform, orig_freq, speeds=(90, 100, 110), perturb_prob=1.0, rng=None):
+    """Resample to a randomly-chosen percentage of the original rate.
+
+    Parity: reference augment.py:601.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    waveform = np.asarray(waveform)
+    if rng.random() > perturb_prob:
+        return waveform.copy()
+    speed = speeds[int(rng.integers(0, len(speeds)))]
+    new_freq = orig_freq * speed // 100
+    return resample(waveform, orig_freq, new_freq)
+
+
+def drop_chunk(
+    waveforms,
+    lengths,
+    drop_length_low=100,
+    drop_length_high=1000,
+    drop_count_low=1,
+    drop_count_high=10,
+    drop_start=0,
+    drop_end=None,
+    drop_prob=1,
+    noise_factor=0.0,
+    rng=None,
+):
+    """Zero (or noise-fill) random spans of each signal (reference augment.py:641)."""
+    if drop_length_low > drop_length_high:
+        raise ValueError("Low limit must not be more than high limit")
+    if drop_count_low > drop_count_high:
+        raise ValueError("Low limit must not be more than high limit")
+    if drop_end is not None and drop_end >= 0:
+        if drop_start > drop_end:
+            raise ValueError("Low limit must not be more than high limit")
+        drop_range = drop_end - drop_start
+        drop_length_low = min(drop_length_low, drop_range)
+        drop_length_high = min(drop_length_high, drop_range)
+
+    rng = np.random.default_rng() if rng is None else rng
+    waveforms = np.asarray(waveforms)
+    lengths = np.asarray(lengths) * waveforms.shape[1]
+    batch_size = waveforms.shape[0]
+    dropped = waveforms.copy()
+
+    if rng.random() > drop_prob:
+        return dropped
+
+    clean_amplitude = compute_amplitude(waveforms, np.expand_dims(lengths, axis=1))
+    drop_times = rng.integers(drop_count_low, drop_count_high + 1, size=(batch_size,))
+
+    for i in range(batch_size):
+        if drop_times[i] == 0:
+            continue
+        length = rng.integers(drop_length_low, drop_length_high + 1, size=(int(drop_times[i]),))
+
+        start_min = drop_start
+        if start_min < 0:
+            start_min += lengths[i]
+        start_max = drop_end
+        if start_max is None:
+            start_max = lengths[i]
+        if start_max < 0:
+            start_max += lengths[i]
+        start_max = max(0, start_max - length.max())
+
+        start = rng.integers(start_min, start_max + 1, size=(int(drop_times[i]),))
+        end = start + length
+
+        if not noise_factor:
+            for j in range(int(drop_times[i])):
+                dropped[i, start[j] : end[j]] = 0.0
+        else:
+            noise_max = 2 * clean_amplitude[i] * noise_factor
+            for j in range(int(drop_times[i])):
+                noise_vec = rng.random(int(length[j]))
+                dropped[i, start[j] : end[j]] = 2 * noise_max * noise_vec - noise_max
+    return dropped
+
+
+def time_stretch(waveforms, rate=None):
+    """Phase-vocoder time stretch by ``rate`` without changing pitch.
+
+    Parity: reference augment.py:795.
+    """
+    if rate is None or rate <= 0:
+        raise ValueError("rate must be a positive number")
+    spec = stft(waveforms)
+    spec_stretch = _phase_vocoder(spec, rate=rate)
+    length_stretch = int(round(np.asarray(waveforms).shape[-1] / rate))
+    return istft(spec_stretch, length=length_stretch)
+
+
+def _phase_vocoder(matrix, rate, hop_length=None, n_fft=None):
+    """Classic Ellis phase vocoder over an STFT matrix ``(..., freq, time)``."""
+    if n_fft is None:
+        n_fft = 2 * (matrix.shape[-2] - 1)
+    if hop_length is None:
+        hop_length = int(n_fft // 4)
+
+    time_steps = np.arange(0, matrix.shape[-1], rate, dtype=np.float64)
+    shape = list(matrix.shape)
+    shape[-1] = len(time_steps)
+    d_stretch = np.zeros(shape, dtype=matrix.dtype)
+
+    phi_advance = np.linspace(0, np.pi * hop_length, matrix.shape[-2])
+    phase_acc = np.angle(matrix[..., 0])
+
+    padding = [(0, 0)] * matrix.ndim
+    padding[-1] = (0, 2)
+    matrix = np.pad(matrix, padding, mode="constant")
+
+    for t, step in enumerate(time_steps):
+        columns = matrix[..., int(step) : int(step + 2)]
+        alpha = np.mod(step, 1.0)
+        mag = (1.0 - alpha) * np.abs(columns[..., 0]) + alpha * np.abs(columns[..., 1])
+        d_stretch[..., t] = mag * (np.cos(phase_acc) + 1j * np.sin(phase_acc))
+        dphase = np.angle(columns[..., 1]) - np.angle(columns[..., 0]) - phi_advance
+        dphase -= 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
+        phase_acc += phi_advance + dphase
+
+    return d_stretch
+
+
+def pitch_shift(waveforms, sr, n_steps, bins_per_octave=12):
+    """Shift pitch by ``n_steps`` (stretch then resample, reference augment.py:874)."""
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    stretched = time_stretch(waveforms, rate=rate)
+    shifted = resample(stretched, orig_freq=float(sr) / rate, new_freq=sr)
+    target = stretched.shape[-1]
+    if shifted.shape[-1] > target:
+        return shifted[..., :target]
+    if shifted.shape[-1] < target:
+        pad = [(0, 0)] * shifted.ndim
+        pad[-1] = (0, target - shifted.shape[-1])
+        return np.pad(shifted, pad)
+    return shifted
+
+
+# Keep `random` importable for callers that seeded the stdlib RNG for parity.
+random = _pyrandom

@@ -1,0 +1,342 @@
+"""Host-side waveform processing with API parity to reference
+``mindaudio.data.processing`` (processing.py:11-25 ``__all__``).
+
+The reference's device-dependent pieces — ``msaudio.SlidingWindowCmn``
+(processing.py:404-407) and the MindSpore ``index_add`` overlap-and-add
+(processing.py:547-593) — are plain NumPy here; their batched on-device
+equivalents live in ``mindaudio_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.signal
+
+from .spectrum import amplitude_to_dB, compute_amplitude, dB_to_amplitude, frame
+
+__all__ = [
+    "normalize",
+    "unitarize",
+    "resample",
+    "rescale",
+    "stereo_to_mono",
+    "trim",
+    "split",
+    "sliding_window_cmn",
+    "invert_channels",
+    "loop",
+    "clip",
+    "insert_in_background",
+    "overlap_and_add",
+]
+
+
+def normalize(waveforms, norm="max", axis=0):
+    """Normalize an array along ``axis``.
+
+    ``norm``: 'max' (l-inf), 'min', 'mean' (subtract mean of magnitudes),
+    'mean_std', 'l0', 'l1', 'l2'. Scales below the dtype's tiny threshold are
+    left untouched. Parity: reference processing.py:28.
+    """
+    waveforms = np.asarray(waveforms)
+    if np.issubdtype(waveforms.dtype, np.floating) or np.issubdtype(
+        waveforms.dtype, np.complexfloating
+    ):
+        dtype = waveforms.dtype
+    else:
+        dtype = np.float32
+    threshold = np.finfo(dtype).tiny
+
+    mag = np.abs(waveforms).astype(float)
+
+    if norm == "mean":
+        return waveforms - np.mean(mag, axis=axis, keepdims=True)
+    if norm == "mean_std":
+        mean = np.mean(mag, axis=axis, keepdims=True)
+        std = np.std(mag, axis=axis, keepdims=True)
+        return (waveforms - mean) / (std + 1e-5)
+    if norm == "max":
+        scale = np.max(mag, axis=axis, keepdims=True)
+    elif norm == "min":
+        scale = np.min(mag, axis=axis, keepdims=True)
+    elif norm == "l0":
+        scale = np.sum(mag > 0, axis=axis, keepdims=True, dtype=mag.dtype)
+    elif norm == "l1":
+        scale = np.sum(mag, axis=axis, keepdims=True)
+    elif norm == "l2":
+        scale = np.sqrt(np.sum(mag**2, axis=axis, keepdims=True))
+    else:
+        raise TypeError(f"Unsupported norm type {norm!r}")
+
+    scale = np.where(scale < threshold, 1.0, scale)
+    return waveforms / scale
+
+
+def unitarize(waveforms, lengths=None, amp_type="avg", eps=1e-14):
+    """Scale a signal to unit average or peak amplitude (reference processing.py:98)."""
+    assert amp_type in ("avg", "peak")
+    waveforms = np.asarray(waveforms)
+    batch_added = waveforms.ndim == 1
+    if batch_added:
+        waveforms = np.expand_dims(waveforms, 0)
+    den = compute_amplitude(waveforms, lengths, amp_type) + eps
+    if batch_added:
+        waveforms = waveforms.squeeze(0)
+    return waveforms / den
+
+
+def resample(
+    waveform,
+    orig_freq=16000,
+    new_freq=16000,
+    res_type="fft",
+    lowpass_filter_width=6,
+    rolloff=0.99,
+    beta=None,
+):
+    """Resample along the last axis.
+
+    'fft'/'scipy' use FFT resampling (``scipy.signal.resample``); 'kaiser' (the
+    reference's 'minddata' path, processing.py:179-186) applies a polyphase
+    kaiser-windowed sinc, matching the torchaudio/msaudio Resample kernel.
+    """
+    waveform = np.asarray(waveform)
+    if orig_freq == new_freq:
+        return waveform
+
+    if res_type in ("scipy", "fft"):
+        ratio = float(new_freq) / orig_freq
+        n_samples = int(np.ceil(waveform.shape[-1] * ratio))
+        y = scipy.signal.resample(waveform, n_samples, axis=-1)
+        return np.asarray(y, dtype=waveform.dtype)
+
+    # Kaiser-windowed sinc interpolation (torchaudio "kaiser_window" method).
+    from math import gcd
+
+    if beta is None:
+        beta = 14.769656459379492
+    g = gcd(int(orig_freq), int(new_freq))
+    orig, new = int(orig_freq) // g, int(new_freq) // g
+    base_freq = min(orig, new) * rolloff / 2.0  # cycles per input sample pair
+    width = int(np.ceil(lowpass_filter_width * orig / (min(orig, new) * rolloff)))
+    idx = np.arange(-width, width + orig, dtype=np.float64)
+
+    kernels = []
+    for p in range(new):
+        t = (-p / new + idx / orig) * 2 * base_freq * np.pi / orig * orig
+        # t in radians of the lowpass: sinc filter at cutoff base_freq.
+        tt = (-p / new + idx / orig) * base_freq * 2
+        window = np.i0(beta * np.sqrt(np.clip(1 - (tt / lowpass_filter_width / 2) ** 2, 0, 1))) / np.i0(beta)
+        tt_pi = tt * np.pi
+        kernel = np.where(tt_pi == 0, 1.0, np.sin(tt_pi) / np.where(tt_pi == 0, 1.0, tt_pi))
+        kernels.append(kernel * window * 2 * base_freq / orig)
+    kernels = np.stack(kernels)  # (new, kernel_len)
+
+    shape = waveform.shape
+    x = waveform.reshape(-1, shape[-1]).astype(np.float64)
+    n_in = x.shape[-1]
+    xp = np.pad(x, [(0, 0), (width, width + orig)])
+    n_blocks = int(np.ceil(n_in / orig))
+    out = np.zeros((x.shape[0], n_blocks * new))
+    klen = kernels.shape[-1]
+    for b in range(n_blocks):
+        seg = xp[:, b * orig : b * orig + klen]
+        out[:, b * new : (b + 1) * new] = seg @ kernels.T[: seg.shape[-1]]
+    target = int(np.ceil(new_freq * n_in / orig_freq))
+    out = out[:, :target]
+    return out.reshape(shape[:-1] + (out.shape[-1],)).astype(waveform.dtype)
+
+
+def rescale(waveforms, target_lvl, lengths=None, amp_type="avg", dB=False):
+    """Rescale to a target level (linear, or dB when ``dB=True``).
+
+    Parity: reference processing.py:189.
+    """
+    assert amp_type in ("max", "avg", "peak")
+    waveforms = np.asarray(waveforms)
+    batch_added = waveforms.ndim == 1
+    if batch_added:
+        waveforms = np.expand_dims(waveforms, 0)
+
+    out = unitarize(waveforms, lengths=lengths, amp_type=amp_type)
+    if dB:
+        out = dB_to_amplitude(np.array(target_lvl), ref=1.0, power=0.5) * out
+    else:
+        out = target_lvl * out
+
+    if batch_added:
+        out = out.squeeze(0)
+    return out
+
+
+def stereo_to_mono(waveforms):
+    """Average channels (last axis) into mono (reference processing.py:235)."""
+    waveforms = np.asarray(waveforms)
+    if waveforms.ndim > 1:
+        waveforms = np.mean(waveforms, axis=-1)
+    return waveforms
+
+
+def _frame_energy_db(waveforms, reference, frame_length, hop_length):
+    mono = stereo_to_mono(waveforms)
+    mono = np.pad(mono, frame_length // 2)
+    x = frame(mono, frame_length=frame_length, hop_length=hop_length)
+    power = np.mean(np.abs(x) ** 2, axis=0)
+    return amplitude_to_dB(power, ref=reference, top_db=None)
+
+
+def trim(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=512):
+    """Trim leading/trailing silence.
+
+    Returns ``(trimmed, index)`` with ``index`` the (start, end) sample bounds
+    of the non-silent region. Parity: reference processing.py:263.
+    """
+    waveforms = np.asarray(waveforms)
+    non_silent = _frame_energy_db(waveforms, reference, frame_length, hop_length) > -top_db
+    edges = np.flatnonzero(np.diff(non_silent.astype(int))) + 1
+
+    start = 0 if non_silent[0] else edges[0]
+    end = len(non_silent) if non_silent[-1] else edges[-1]
+    index = np.array([start, end]) * hop_length
+    return waveforms[index[0] : index[1]], index
+
+
+def split(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=512):
+    """Find non-silent intervals; returns ``(m, 2)`` start/end sample indices.
+
+    Parity: reference processing.py:322.
+    """
+    waveforms = np.asarray(waveforms)
+    non_silent = _frame_energy_db(waveforms, reference, frame_length, hop_length) > -top_db
+    edges = [np.flatnonzero(np.diff(non_silent.astype(int))) + 1]
+    if non_silent[0]:
+        edges.insert(0, [0])
+    if non_silent[-1]:
+        edges.append([len(non_silent)])
+    edges = np.concatenate(edges) * hop_length
+    edges = np.minimum(edges, waveforms.shape[-1])
+    return edges.reshape((-1, 2))
+
+
+def sliding_window_cmn(x, cmn_window=600, min_cmn_window=100, center=False, norm_vars=False):
+    """Kaldi-style sliding-window cepstral mean (and variance) normalization.
+
+    Operates over the second-to-last axis (time) of ``(..., time, freq)``
+    input, replacing the reference's ``msaudio.SlidingWindowCmn`` kernel
+    (processing.py:380-407).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    orig_shape = x.shape
+    if x.ndim == 2:
+        x = x[None]
+    flat = x.reshape((-1,) + x.shape[-2:])
+    num_frames = flat.shape[-2]
+    out = np.empty_like(flat)
+
+    for t in range(num_frames):
+        if center:
+            ws = t - cmn_window // 2
+            we = ws + cmn_window
+        else:
+            ws = t - cmn_window
+            we = t + 1
+        if ws < 0:
+            we -= ws
+            ws = 0
+        if not center:
+            if we > t:
+                we = max(t + 1, min_cmn_window)
+        if we > num_frames:
+            ws -= we - num_frames
+            we = num_frames
+            ws = max(ws, 0)
+        window = flat[:, ws:we, :]
+        mean = window.mean(axis=1)
+        out[:, t, :] = flat[:, t, :] - mean
+        if norm_vars:
+            var = (window**2).mean(axis=1) - mean**2
+            out[:, t, :] /= np.sqrt(np.maximum(var, 1e-10))
+
+    return out.reshape(orig_shape).astype(np.float32)
+
+
+def invert_channels(waveform):
+    """Swap the first and last channel (columns) of ``(n, n_channel)`` audio.
+
+    Parity: reference processing.py:410 (in-place column swap).
+    """
+    waveform = np.asarray(waveform)
+    if waveform.ndim > 1:
+        col = waveform.shape[1] - 1
+        waveform[:, [0, col]] = waveform[:, [col, 0]]
+    return waveform
+
+
+def loop(waveform, times):
+    """Concatenate the signal with itself ``times`` times along axis 0."""
+    waveform = np.asarray(waveform)
+    if times > 1:
+        waveform = np.concatenate([waveform] * times, axis=0)
+    return waveform
+
+
+def clip(waveform, offset_factor, duration_factor):
+    """Crop ``[offset, offset + duration]`` (as fractions of total length).
+
+    Parity: reference processing.py:462.
+    """
+    waveform = np.asarray(waveform)
+    if offset_factor + duration_factor < 0.0 or offset_factor + duration_factor > 1.0:
+        print("Combination of offset and duration factors exceed audio length.")
+        return waveform
+    n = waveform.shape[0]
+    start = int(offset_factor * n)
+    end = int((offset_factor + duration_factor) * n)
+    return waveform[start:end, ...]
+
+
+def insert_in_background(waveform, offset_factor, background_audio):
+    """Wrap the signal with a slice of background audio on both sides.
+
+    Parity: reference processing.py:494 (including the channel up/down-mixing
+    of mismatched backgrounds).
+    """
+    waveform = np.asarray(waveform)
+    if offset_factor < 0.0 or offset_factor > 1.0:
+        print("Offset factor number exceed range [0, 1].")
+        return waveform
+
+    num_channels = 1 if waveform.ndim == 1 else waveform.shape[1]
+    if background_audio is None:
+        background_audio = np.random.standard_normal(waveform.shape)
+    else:
+        background_audio = np.asarray(background_audio)
+        bg_channels = 1 if background_audio.ndim == 1 else background_audio.shape[1]
+        if bg_channels != num_channels:
+            background_audio = stereo_to_mono(background_audio)
+            if num_channels > 1:
+                background_audio = np.tile(background_audio[:, None], (1, num_channels))
+
+    offset = int(offset_factor * background_audio.shape[0])
+    if num_channels > 1:
+        return np.vstack([background_audio[:offset, ...], waveform, background_audio[:offset, ...]])
+    return np.hstack([background_audio[..., :offset], waveform, background_audio[..., :offset]])
+
+
+def overlap_and_add(signal, frame_step):
+    """Overlap-add frames ``(..., frames, frame_length)`` into
+    ``(..., (frames - 1) * frame_step + frame_length)``.
+
+    Pure NumPy replacement for the reference's MindSpore ``index_add`` GCD
+    trick (processing.py:547-593); the jittable device version is
+    ``mindaudio_tpu.ops.overlap_and_add``.
+    """
+    signal = np.asarray(signal)
+    outer = signal.shape[:-2]
+    frames, frame_length = signal.shape[-2:]
+    output_size = frame_step * (frames - 1) + frame_length
+    out = np.zeros(outer + (output_size,), dtype=np.float32)
+    for t in range(frames):
+        s = t * frame_step
+        out[..., s : s + frame_length] += signal[..., t, :]
+    return out

@@ -1,0 +1,127 @@
+"""Augmentation layer tests — mirrors reference tests/test_augment.py with
+deterministic RNG and numeric checks."""
+
+import numpy as np
+import pytest
+
+import mindaudio_tpu.data.augment as augment
+import mindaudio_tpu.data.io as io
+import mindaudio_tpu.data.spectrum as spectrum
+
+
+@pytest.fixture(scope="module")
+def test_data(request):
+    data, sr = io.read(request.getfixturevalue("sample_wav"))
+    return data, sr
+
+
+class TestAugment:
+    def test_frequencymasking(self, test_data):
+        data, _ = test_data
+        original = spectrum.spectrogram(data)
+        rng = np.random.default_rng(0)
+        masked = augment.frequencymasking(original, frequency_mask_param=80, rng=rng)
+        assert masked.shape == original.shape
+        zero_rows = (masked == 0).all(axis=-1).sum()
+        assert zero_rows >= 1  # a band was masked
+
+    def test_timemasking(self, test_data):
+        data, _ = test_data
+        original = spectrum.spectrogram(data)
+        rng = np.random.default_rng(0)
+        masked = augment.timemasking(original, frequency_mask_param=80, rng=rng)
+        assert masked.shape == original.shape
+        zero_cols = (masked == 0).all(axis=-2).sum()
+        assert zero_cols >= 1
+
+    def test_reverberate(self, test_data, rir_wav):
+        data, _ = test_data
+        samples = data[:32000]
+        rirs, _ = io.read(rir_wav)
+        reverbed = augment.reverberate(samples, rirs)
+        assert reverbed.shape == samples.shape
+        # amplitude preserved by rescale
+        np.testing.assert_allclose(
+            spectrum.compute_amplitude(reverbed), spectrum.compute_amplitude(samples), rtol=1e-3
+        )
+
+    def test_add_noise_1d_2d_3d(self, test_data, sample_wav):
+        data, _ = test_data
+        rng = np.random.default_rng(0)
+        noisy1 = augment.add_noise(data, [sample_wav], 3, 30, 1.0, rng=rng)
+        assert noisy1.shape == data.shape
+        batch = np.stack([data[:16000], data[16000:32000]])
+        noisy2 = augment.add_noise(batch, [sample_wav], 3, 30, 1.0, rng=rng)
+        assert noisy2.shape == batch.shape
+        x3 = rng.random((4, 1, 8000)) - 0.5
+        noisy3 = augment.add_noise(x3, [sample_wav], 3, 30, 1.0, rng=rng)
+        assert noisy3.shape == x3.shape
+
+    def test_add_reverb(self, test_data, rir_wav):
+        data, _ = test_data
+        rng = np.random.default_rng(0)
+        out1 = augment.add_reverb(data, [rir_wav], 1.0, rng=rng)
+        assert out1.shape == data.shape
+        batch = np.stack([data[:16000], data[16000:32000]])
+        out2 = augment.add_reverb(batch, [rir_wav], 1.0, rng=rng)
+        assert out2.shape == batch.shape
+        x3 = rng.random((4, 1, 8000)) - 0.5
+        out3 = augment.add_reverb(x3, [rir_wav], 1.0, rng=rng)
+        assert out3.shape == x3.shape
+
+    def test_add_babble(self, test_data):
+        data, _ = test_data
+        waveforms = np.stack([data[:16000], data[16000:32000], data[32000:48000]])
+        lengths = np.array([1.0, 1.0, 1.0])
+        rng = np.random.default_rng(0)
+        out = augment.add_babble(waveforms, lengths, speaker_count=2, snr_low=0, snr_high=0, rng=rng)
+        assert out.shape == waveforms.shape
+        assert not np.allclose(out, waveforms)
+
+    def test_drop_freq(self, test_data):
+        data, _ = test_data
+        rng = np.random.default_rng(0)
+        out = augment.drop_freq(data, rng=rng)
+        assert out.shape == data.shape
+
+    def test_speed_perturb(self, test_data):
+        data, _ = test_data
+        rng = np.random.default_rng(0)
+        out = augment.speed_perturb(data, orig_freq=16000, speeds=[90], rng=rng)
+        assert abs(out.shape[-1] - np.ceil(data.shape[-1] * 90 / 100 / 16000 * 16000 / (90 * 160) * 160 * 100 / 100)) >= 0
+        # 90% speed → ~ 10/9 times longer? (resample to 14400 Hz keeps samples/sec ratio)
+        expected = int(np.ceil(data.shape[-1] * (16000 * 90 // 100) / 16000))
+        assert out.shape[-1] == expected
+
+    def test_drop_chunk(self, test_data):
+        data, _ = test_data
+        waveforms = np.stack([data[:16000], data[16000:32000], data[32000:48000]])
+        lengths = np.array([1.0, 1.0, 1.0])
+        rng = np.random.default_rng(0)
+        out = augment.drop_chunk(
+            waveforms, lengths, drop_start=100, drop_end=200, noise_factor=0.0, rng=rng
+        )
+        assert out.shape == waveforms.shape
+        # samples outside [100, 200) untouched
+        np.testing.assert_array_equal(out[:, 300:], waveforms[:, 300:])
+
+    def test_time_stretch(self, test_data):
+        data, _ = test_data
+        x = data[:32000]
+        y_fast = augment.time_stretch(x, rate=2.0)
+        assert abs(y_fast.shape[-1] - x.shape[-1] // 2) <= 2
+
+    def test_pitch_shift(self, test_data):
+        data, _ = test_data
+        x = data[:32000]
+        shifted = augment.pitch_shift(x, sr=16000, n_steps=4)
+        # reference semantics (augment.py:901): output length == stretched length
+        rate = 2.0 ** (-4 / 12)
+        assert shifted.shape[-1] == pytest.approx(x.shape[-1] / rate, abs=3)
+        # 4 semitones up: 220 Hz fundamental moves to ~277 Hz
+        spec_orig = np.abs(spectrum.stft(x, n_fft=4096)).sum(axis=-1)
+        spec_shift = np.abs(spectrum.stft(shifted.astype(np.float32), n_fft=4096)).sum(axis=-1)
+        f_orig = spec_orig[20:200].argmax() + 20
+        f_shift = spec_shift[20:200].argmax() + 20
+        ratio = f_shift / f_orig
+        assert 1.15 < ratio < 1.40  # 2^(4/12) ≈ 1.26
