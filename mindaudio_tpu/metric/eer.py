@@ -1,0 +1,51 @@
+"""Equal error rate for speaker verification.
+
+Port of reference ``mindaudio/metric/eer.py`` (ROC → P_fa/P_miss → root of
+interpolated difference, eer.py:14-34).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.interpolate import interp1d
+from scipy.optimize import brentq
+
+__all__ = ["get_eer", "get_eer_from_scores"]
+
+
+def _roc(labels, scores):
+    order = np.argsort(-scores)
+    labels = np.asarray(labels)[order]
+    tps = np.cumsum(labels)
+    fps = np.cumsum(1 - labels)
+    tpr = tps / max(tps[-1], 1)
+    fpr = fps / max(fps[-1], 1)
+    return fpr, tpr
+
+
+def get_eer(positive_scores, negative_scores):
+    """EER from separate positive-trial and negative-trial score arrays.
+
+    Returns ``(eer, threshold)``.
+    """
+    scores = np.concatenate([positive_scores, negative_scores])
+    labels = np.concatenate(
+        [np.ones(len(positive_scores)), np.zeros(len(negative_scores))]
+    )
+    return get_eer_from_scores(scores, labels)
+
+
+def get_eer_from_scores(scores, labels):
+    """EER from scores + binary labels; returns ``(eer, threshold)``."""
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = np.asarray(labels)
+    fpr, tpr = _roc(labels, scores)
+    fpr = np.concatenate([[0.0], fpr])
+    tpr = np.concatenate([[0.0], tpr])
+    eer = brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
+
+    # threshold at the EER operating point
+    order = np.argsort(-scores)
+    idx = int(np.clip(np.searchsorted(fpr[1:], eer), 0, len(scores) - 1))
+    thresh = scores[order][idx]
+    return float(eer), float(thresh)

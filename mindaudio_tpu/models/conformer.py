@@ -1,0 +1,220 @@
+"""Conformer encoder + Transformer decoder (WeNet-style hybrid ASR).
+
+TPU-native re-design of reference ``mindaudio/models/conformer.py``:
+``ConformerEncoderLayer`` (conformer.py:25), ``BaseEncoder``/``ConformerEncoder``
+(conformer.py:164/261), ``DecoderLayer``/``TransformerDecoder``
+(conformer.py:382/508). Differences from the reference are architectural, not
+functional: batch-time-feature layout, boolean masks, Flax modules with bf16
+compute / f32 params, chunk masks built by ``utils.mask`` for streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..utils.mask import add_optional_chunk_mask, make_non_pad_mask, subsequent_mask
+from .layers import (
+    Conv2dSubsampling4,
+    ConvolutionModule,
+    GlobalCMVN,
+    MultiHeadedAttention,
+    PositionalEncoding,
+    PositionwiseFeedForward,
+    RelPositionMultiHeadedAttention,
+    Swish,
+    apply_mask,
+)
+
+__all__ = ["ConformerEncoder", "ConformerEncoderLayer", "TransformerDecoder"]
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Macaron FFN → MHSA(rel-pos) → conv module → FFN, pre-norm
+    (reference conformer.py:25, construct at :86-161)."""
+
+    d_model: int
+    head_num: int
+    ffn_dim: int
+    dropout_rate: float = 0.1
+    kernel_size: int = 15
+    norm_type: str = "layer_norm"
+    causal_conv: bool = False
+    use_macaron: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, pos_emb, mask_pad=None, deterministic=True):
+        # Macaron feed-forward (half-step residual)
+        if self.use_macaron:
+            res = x
+            y = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
+            y = PositionwiseFeedForward(
+                self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
+                dtype=self.dtype, name="feed_forward_macaron",
+            )(y, deterministic=deterministic)
+            x = res + 0.5 * nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        # Self-attention with relative position
+        res = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        y = RelPositionMultiHeadedAttention(
+            self.head_num, self.dropout_rate, dtype=self.dtype, name="self_attn"
+        )(y, y, y, mask=mask, pos_emb=pos_emb, deterministic=deterministic)
+        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        # Convolution module
+        res = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
+        y = ConvolutionModule(
+            kernel_size=self.kernel_size, norm_type=self.norm_type,
+            causal=self.causal_conv, dtype=self.dtype, name="conv_module",
+        )(y, mask_pad=mask_pad, deterministic=deterministic)
+        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        # Final feed-forward
+        res = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(x)
+        y = PositionwiseFeedForward(
+            self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
+            dtype=self.dtype, name="feed_forward",
+        )(y, deterministic=deterministic)
+        scale = 0.5 if self.use_macaron else 1.0
+        x = res + scale * nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """CMVN → Conv2d 4× subsampling → N Conformer blocks
+    (reference conformer.py:261; defaults follow examples/conformer/conformer.yaml).
+
+    ``__call__`` returns ``(encoder_out, encoder_mask)`` with
+    ``encoder_mask: (B, 1, T')`` True at valid subsampled frames.
+    """
+
+    input_dim: int = 80
+    d_model: int = 256
+    head_num: int = 4
+    ffn_dim: int = 2048
+    num_layers: int = 12
+    dropout_rate: float = 0.1
+    kernel_size: int = 15
+    norm_type: str = "layer_norm"
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    static_chunk_size: int = 0
+    cmvn_mean: Optional[jnp.ndarray] = None
+    cmvn_istd: Optional[jnp.ndarray] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xs,
+        xs_lens,
+        decoding_chunk_size: int = 0,
+        num_decoding_left_chunks: int = -1,
+        deterministic: bool = True,
+        chunk_rng=None,
+    ):
+        if self.cmvn_mean is not None:
+            xs = GlobalCMVN(self.cmvn_mean, self.cmvn_istd, name="global_cmvn")(xs)
+
+        xs, pos_emb = Conv2dSubsampling4(
+            self.d_model, self.dropout_rate, pos_enc="rel_pos", dtype=self.dtype, name="embed"
+        )(xs.astype(self.dtype), deterministic=deterministic)
+
+        t_sub = xs.shape[1]
+        sub_lens = ((xs_lens - 1) // 2 - 1) // 2
+        masks = make_non_pad_mask(sub_lens, t_sub)[:, None, :]  # (B, 1, T')
+        chunk_masks = add_optional_chunk_mask(
+            sub_lens, masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
+            decoding_chunk_size, self.static_chunk_size, num_decoding_left_chunks,
+            rng_key=chunk_rng,
+        )  # (B, T', T') or (B, 1, T')
+        mask_pad = masks[:, 0, :]
+
+        for i in range(self.num_layers):
+            xs = ConformerEncoderLayer(
+                self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
+                self.kernel_size, self.norm_type, dtype=self.dtype, name=f"layer_{i}",
+            )(xs, chunk_masks, pos_emb, mask_pad=mask_pad, deterministic=deterministic)
+        return xs, masks
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm self-attn → cross-attn → FFN decoder block (reference conformer.py:382)."""
+
+    d_model: int
+    head_num: int
+    ffn_dim: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, tgt_mask, memory, memory_mask, deterministic=True):
+        res = tgt
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        y = MultiHeadedAttention(self.head_num, self.dropout_rate, dtype=self.dtype, name="self_attn")(
+            y, y, y, mask=tgt_mask, deterministic=deterministic
+        )
+        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        res = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = MultiHeadedAttention(self.head_num, self.dropout_rate, dtype=self.dtype, name="src_attn")(
+            y, memory, memory, mask=memory_mask, deterministic=deterministic
+        )
+        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+        res = x
+        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        y = PositionwiseFeedForward(self.ffn_dim, self.dropout_rate, dtype=self.dtype, name="feed_forward")(
+            y, deterministic=deterministic
+        )
+        return res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+
+class TransformerDecoder(nn.Module):
+    """Embedding + abs-pos encoding + N cross-attention blocks + output head
+    (reference conformer.py:508).
+
+    ``__call__(memory, memory_mask, ys_in, ys_in_lens)`` returns logits
+    ``(B, L, vocab)``.
+    """
+
+    vocab_size: int
+    d_model: int = 256
+    head_num: int = 4
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, memory_mask, ys_in, ys_in_lens, deterministic=True):
+        L = ys_in.shape[1]
+        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype, name="embed")(ys_in)
+        x, _ = PositionalEncoding(self.d_model, self.dropout_rate, name="pos_enc")(
+            x, deterministic=deterministic
+        )
+
+        tgt_mask = make_non_pad_mask(ys_in_lens, L)[:, None, :] & subsequent_mask(L)[None]
+        for i in range(self.num_layers):
+            x = DecoderLayer(
+                self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
+                dtype=self.dtype, name=f"layer_{i}",
+            )(x, tgt_mask, memory, memory_mask, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="output_layer")(x)
+
+    def forward_one_step(self, memory, memory_mask, ys, deterministic=True):
+        """Full-prefix decode step (used by beam search): returns logits of the
+        last position, log-softmaxed."""
+        lens = jnp.full((ys.shape[0],), ys.shape[1], jnp.int32)
+        logits = self(memory, memory_mask, ys, lens, deterministic=deterministic)
+        return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)

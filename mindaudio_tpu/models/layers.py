@@ -1,0 +1,314 @@
+"""Shared Flax building blocks for the model zoo.
+
+TPU-native counterparts of reference ``mindaudio/models/layers/``: masked MHSA
+(attention.py:17), Transformer-XL rel-pos attention with u/v biases
+(attention.py:156, bd-shift dropped like the reference :232-234), positional
+encodings (embedding.py), the GLU-gated Conformer convolution module
+(convolution.py:15), Conv2dSubsampling4 (subsampling.py:22), GlobalCMVN
+(cmvn.py:6), and the position-wise FFN (positionwise_feed_forward.py:9).
+
+Conventions:
+- batch-time-feature ``(B, T, D)`` layout everywhere (XLA-friendly; the MXU
+  contraction is always the last axis).
+- boolean masks, True = attend; converted to additive form in f32 with a
+  bf16-safe constant.
+- every module takes ``dtype`` (compute, default bf16-capable) and keeps
+  params in f32 (flax default ``param_dtype``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_VALUE = -1.0e9
+
+
+def apply_mask(scores, mask):
+    """Additive-mask attention scores; ``mask`` True = keep."""
+    return jnp.where(mask, scores, jnp.asarray(MASK_VALUE, scores.dtype))
+
+
+class Swish(nn.Module):
+    """x * sigmoid(x) (reference layers/swish.py:7)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return x * jax.nn.sigmoid(x)
+
+
+class GLU(nn.Module):
+    """Gated linear unit along ``axis`` (reference layers/glu.py:8)."""
+
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x):
+        a, b = jnp.split(x, 2, axis=self.axis)
+        return a * jax.nn.sigmoid(b)
+
+
+class GlobalCMVN(nn.Module):
+    """(x - mean) * istd with fixed stats (reference layers/cmvn.py:6)."""
+
+    mean: jnp.ndarray
+    istd: jnp.ndarray
+    norm_var: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = x - self.mean.astype(x.dtype)
+        if self.norm_var:
+            x = x * self.istd.astype(x.dtype)
+        return x
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Two-layer FFN applied per position (reference layers/positionwise_feed_forward.py:9)."""
+
+    hidden_units: int
+    dropout_rate: float = 0.1
+    activation: Callable = jax.nn.relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        d_model = x.shape[-1]
+        x = nn.Dense(self.hidden_units, dtype=self.dtype)(x)
+        x = self.activation(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return nn.Dense(d_model, dtype=self.dtype)(x)
+
+
+class MultiHeadedAttention(nn.Module):
+    """Masked multi-head attention (reference layers/attention.py:17).
+
+    ``query/key/value``: (B, T, D). ``mask``: broadcastable to (B, 1, Tq, Tk),
+    True = attend.
+    """
+
+    head_num: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def qkv(self, query, key, value):
+        d_model = query.shape[-1]
+        d_k = d_model // self.head_num
+
+        def proj(x, name):
+            y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
+            return y.reshape(x.shape[:-1] + (self.head_num, d_k)).transpose(0, 2, 1, 3)
+
+        return proj(query, "linear_q"), proj(key, "linear_k"), proj(value, "linear_v"), d_k
+
+    def attend(self, scores, value, mask, deterministic):
+        if mask is not None:
+            scores = apply_mask(scores, mask)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, value)
+        b, h, t, d_k = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d_k)
+        return nn.Dense(h * d_k, dtype=self.dtype, name="linear_out")(out)
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, pos_emb=None, deterministic=True):
+        q, k, v, d_k = self.qkv(query, key, value)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(d_k, jnp.float32)
+        ).astype(self.dtype)
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None, :, :]
+        return self.attend(scores, v, mask, deterministic)
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL relative-position attention with u/v biases.
+
+    WeNet/reference convention (attention.py:156): ``score = (q+u)·k + (q+v)·p``
+    where ``p`` projects the relative positional embedding; the bd matrix-shift
+    is dropped exactly as in the reference (attention.py:232-234).
+    """
+
+    head_num: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, pos_emb=None, deterministic=True):
+        d_model = query.shape[-1]
+        d_k = d_model // self.head_num
+
+        def proj(x, name):
+            y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
+            return y.reshape(x.shape[:-1] + (self.head_num, d_k)).transpose(0, 2, 1, 3)
+
+        q = proj(query, "linear_q")
+        k = proj(key, "linear_k")
+        v = proj(value, "linear_v")
+        p = proj(pos_emb.astype(self.dtype), "linear_pos")  # (1, h, T, d_k)
+
+        u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (self.head_num, d_k))
+        vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (self.head_num, d_k))
+
+        q_u = q + u.astype(self.dtype)[None, :, None, :]
+        q_v = q + vb.astype(self.dtype)[None, :, None, :]
+        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+            jnp.asarray(d_k, jnp.float32)
+        ).astype(self.dtype)
+
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None, :, :]
+        # reuse output projection + softmax plumbing from the base module
+        if mask is not None:
+            scores = apply_mask(scores, mask)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        b, h, t, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d_k)
+        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+
+
+def sinusoid_table(max_len, d_model, dtype=np.float32):
+    """Standard sinusoidal position table ``(max_len, d_model)``."""
+    position = np.arange(max_len)[:, None].astype(np.float64)
+    div_term = np.exp(np.arange(0, d_model, 2) * -(np.log(10000.0) / d_model))
+    table = np.zeros((max_len, d_model))
+    table[:, 0::2] = np.sin(position * div_term)
+    table[:, 1::2] = np.cos(position * div_term)
+    return table.astype(dtype)
+
+
+class PositionalEncoding(nn.Module):
+    """Absolute sinusoidal encoding: scale input and add PE (reference embedding.py:16)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, offset=0, deterministic=True):
+        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
+        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        pos = jax.lax.dynamic_slice_in_dim(pe, offset, x.shape[1], axis=0)
+        x = x + pos.astype(x.dtype)[None]
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic), pos[None]
+
+
+class RelPositionalEncoding(nn.Module):
+    """Relative positional encoding: scale input, return PE separately
+    (reference embedding.py:65)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, offset=0, deterministic=True):
+        pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model))
+        x = x * jnp.sqrt(jnp.asarray(self.d_model, x.dtype))
+        pos = jax.lax.dynamic_slice_in_dim(pe, offset, x.shape[1], axis=0)[None]
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x, pos.astype(x.dtype)
+
+
+class NoPositionalEncoding(nn.Module):
+    """Identity encoding (reference embedding.py:144)."""
+
+    d_model: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, offset=0, deterministic=True):
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x, jnp.zeros((1, x.shape[1], self.d_model), x.dtype)
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module (reference layers/convolution.py:15).
+
+    pointwise(2C) → GLU → depthwise(k) → norm → swish → pointwise(C); inputs
+    are length-masked before each conv so padding never leaks across frames
+    (the reference's masked Conv1d, conv1d.py:94-115).
+    """
+
+    kernel_size: int = 15
+    norm_type: str = "batch_norm"  # or "layer_norm"
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_pad=None, deterministic=True):
+        # x: (B, T, C); mask_pad: (B, T) True = valid
+        channels = x.shape[-1]
+        if mask_pad is not None:
+            x = jnp.where(mask_pad[..., None], x, 0.0)
+
+        x = nn.Dense(2 * channels, dtype=self.dtype, name="pointwise_conv1")(x)
+        x = GLU(axis=-1)(x)
+
+        if self.causal:
+            pad = (self.kernel_size - 1, 0)
+        else:
+            pad = ((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)
+        x = nn.Conv(
+            features=channels,
+            kernel_size=(self.kernel_size,),
+            feature_group_count=channels,
+            padding=[pad],
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(x)
+
+        if self.norm_type == "batch_norm":
+            x = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype, name="norm")(x)
+        else:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = x * jax.nn.sigmoid(x)
+        x = nn.Dense(channels, dtype=self.dtype, name="pointwise_conv2")(x)
+        if mask_pad is not None:
+            x = jnp.where(mask_pad[..., None], x, 0.0)
+        return x
+
+
+class Conv2dSubsampling4(nn.Module):
+    """Two stride-2 3x3 Conv2d blocks: 4× time subsampling + linear projection
+    (reference layers/subsampling.py:22). Input (B, T, F) → (B, T//4, d_model),
+    plus the positional encoding of the subsampled sequence.
+    """
+
+    d_model: int
+    dropout_rate: float = 0.1
+    pos_enc: str = "rel_pos"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset=0, deterministic=True):
+        b, t, f = x.shape
+        x = x[..., None]  # (B, T, F, 1) NHWC
+        x = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype)(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.d_model, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype)(x)
+        x = jax.nn.relu(x)
+        b, t2, f2, c = x.shape
+        x = x.reshape(b, t2, f2 * c)
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="out")(x)
+        if self.pos_enc == "rel_pos":
+            enc = RelPositionalEncoding(self.d_model, self.dropout_rate)
+        elif self.pos_enc == "abs_pos":
+            enc = PositionalEncoding(self.d_model, self.dropout_rate)
+        else:
+            enc = NoPositionalEncoding(self.d_model, self.dropout_rate)
+        return enc(x, offset=offset, deterministic=deterministic)
+
+    @staticmethod
+    def output_len(t):
+        """Subsampled length for input length t (two valid stride-2 3x3 convs)."""
+        return ((t - 1) // 2 - 1) // 2

@@ -1,0 +1,17 @@
+"""Device-mesh / sharding utilities — the distributed layer.
+
+Replaces the reference's HCCL/NCCL + ``DistributedGradReducer`` stack
+(SURVEY §2.6): no rank tables, no mpirun — a ``jax.sharding.Mesh`` with named
+axes and GSPMD-inserted collectives over ICI/DCN.
+"""
+
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    get_device_id,
+    get_device_num,
+    get_rank_id,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,104 @@
+"""Checkpoint save/restore/averaging via orbax.
+
+Replaces the reference's ModelCheckpoint/SaveCallBack/ResumeCallback +
+offline ``average_model.py`` (reference utils/callback.py:256-494,
+utils/average_model.py:10-53). State is a pytree (params + opt state + step);
+``average_checkpoints`` reproduces the reference's top-/last-N parameter mean
+that its published Conformer CER depends on (conformer.yaml ``avg_30``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "average_checkpoints", "CheckpointManager"]
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(directory, state, step):
+    """Write ``state`` pytree at ``directory/step_{step}``."""
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    _checkpointer().save(path, state, force=True)
+    return path
+
+
+def restore_checkpoint(directory, step=None, target=None):
+    """Restore a pytree; latest step when ``step`` is None."""
+    directory = os.path.abspath(directory)
+    if step is None:
+        steps = sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(directory)
+            if d.startswith("step_") and d.split("_")[1].isdigit()
+        )
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        step = steps[-1]
+    path = os.path.join(directory, f"step_{step}")
+    if target is not None:
+        return _checkpointer().restore(path, target=target)
+    return _checkpointer().restore(path)
+
+
+def average_checkpoints(directory, steps: Sequence[int], target=None):
+    """Parameter-average N checkpoints (reference average_model.py:22-53).
+
+    ``steps`` selects which ``step_*`` checkpoints to average — callers pick
+    top-N by eval loss or last-N, as the recipes do.
+    """
+    assert steps, "need at least one checkpoint"
+    acc = None
+    for s in steps:
+        ckpt = restore_checkpoint(directory, step=s, target=target)
+        if acc is None:
+            acc = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), ckpt)
+        else:
+            acc = jax.tree_util.tree_map(
+                lambda a, x: a + np.asarray(x, np.float64), acc, ckpt
+            )
+    n = float(len(steps))
+    return jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+
+
+class CheckpointManager:
+    """Rolling save with ``keep_max`` retention + best-by-metric tracking
+    (the EvalCallback behavior, reference callback.py:256-448)."""
+
+    def __init__(self, directory, keep_max=30):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.keep_max = keep_max
+        self.scores = {}  # step -> eval metric
+
+    def save(self, state, step, eval_metric=None):
+        save_checkpoint(self.directory, state, step)
+        if eval_metric is not None:
+            self.scores[step] = float(eval_metric)
+        self._prune()
+
+    def _prune(self):
+        steps = sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(self.directory)
+            if d.startswith("step_")
+        )
+        for s in steps[: -self.keep_max] if len(steps) > self.keep_max else []:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.directory, f"step_{s}"), ignore_errors=True)
+
+    def best_steps(self, n):
+        """Top-n steps by (ascending) eval metric — feed to average_checkpoints."""
+        ranked = sorted(self.scores.items(), key=lambda kv: kv[1])
+        return [s for s, _ in ranked[:n]]
+
+    def average_best(self, n, target=None):
+        return average_checkpoints(self.directory, self.best_steps(n), target=target)

@@ -1,0 +1,232 @@
+"""Model zoo forward-pass tests (tiny configs, CPU) — coverage the reference
+never had (SURVEY §4: reference tests only the data layer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+class TestConformer:
+    def test_encoder_forward(self, rng):
+        from mindaudio_tpu.models import ConformerEncoder
+
+        enc = ConformerEncoder(
+            input_dim=80, d_model=64, head_num=2, ffn_dim=128, num_layers=2
+        )
+        xs = jnp.zeros((2, 64, 80))
+        xs_lens = jnp.array([64, 40])
+        params = enc.init(rng, xs, xs_lens)
+        out, masks = enc.apply(params, xs, xs_lens)
+        assert out.shape == (2, 15, 64)  # ((64-1)//2-1)//2 = 15
+        assert masks.shape == (2, 1, 15)
+        assert int(masks[1, 0].sum()) == ((40 - 1) // 2 - 1) // 2
+
+    def test_decoder_forward(self, rng):
+        from mindaudio_tpu.models import TransformerDecoder
+
+        dec = TransformerDecoder(vocab_size=50, d_model=64, head_num=2, ffn_dim=128, num_layers=2)
+        memory = jnp.zeros((2, 15, 64))
+        memory_mask = jnp.ones((2, 1, 15), bool)
+        ys = jnp.zeros((2, 7), jnp.int32)
+        ys_lens = jnp.array([7, 5])
+        params = dec.init(rng, memory, memory_mask, ys, ys_lens)
+        logits = dec.apply(params, memory, memory_mask, ys, ys_lens)
+        assert logits.shape == (2, 7, 50)
+
+    def test_hybrid_loss(self, rng):
+        from mindaudio_tpu.loss import ctc_loss, label_smoothing_loss
+
+        logits = jax.random.normal(rng, (2, 15, 50))
+        loss = ctc_loss(logits, jnp.array([15, 12]), jnp.ones((2, 5), jnp.int32),
+                        jnp.array([5, 3]))
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        att_logits = jax.random.normal(rng, (2, 6, 50))
+        tgt = jnp.array([[1, 2, 3, 4, 5, -1], [1, 2, -1, -1, -1, -1]])
+        ls = label_smoothing_loss(att_logits, tgt)
+        assert np.isfinite(float(ls)) and float(ls) > 0
+
+
+class TestDeepSpeech2:
+    def test_forward(self, rng):
+        from mindaudio_tpu.models import DeepSpeechModel
+
+        model = DeepSpeechModel(vocab_size=29, hidden_size=64, num_rnn_layers=2)
+        spect = jnp.zeros((2, 80, 161))
+        lengths = jnp.array([80, 50])
+        variables = model.init(rng, spect, lengths)
+        (logits, out_lens), _ = model.apply(
+            variables, spect, lengths, deterministic=True, mutable=["batch_stats"]
+        )
+        assert logits.shape[0] == 2 and logits.shape[2] == 29
+        assert int(out_lens[0]) == logits.shape[1]
+
+
+class TestEcapa:
+    def test_embedding_and_classifier(self, rng):
+        from mindaudio_tpu.models import Classifier, EcapaTDNN
+
+        model = EcapaTDNN(channels=(32, 32, 32, 32, 96), lin_neurons=24)
+        x = jax.random.normal(rng, (2, 50, 20))
+        variables = model.init(rng, x)
+        emb, _ = model.apply(variables, x, mutable=["batch_stats"])
+        assert emb.shape == (2, 1, 24)
+
+        clf = Classifier(out_neurons=10, lin_neurons=24)
+        cvars = clf.init(rng, emb)
+        cos = clf.apply(cvars, emb)
+        assert cos.shape == (2, 10)
+        assert float(jnp.abs(cos).max()) <= 1.0 + 1e-5
+
+    def test_aam_loss(self, rng):
+        from mindaudio_tpu.loss.aam_softmax import aam_softmax_loss
+
+        cos = jax.random.uniform(rng, (4, 10), minval=-1, maxval=1)
+        loss = aam_softmax_loss(cos, jnp.array([0, 1, 2, 3]))
+        assert np.isfinite(float(loss))
+
+
+class TestSeparation:
+    def test_tasnet_forward(self, rng):
+        from mindaudio_tpu.models import TasNet
+
+        model = TasNet(enc_dim=32, frame_len=40, num_spk=2, hidden=32, num_layers=1)
+        mix = jax.random.normal(rng, (2, 10, 40))
+        params = model.init(rng, mix)
+        est = model.apply(params, mix)
+        assert est.shape == (2, 2, 10, 40)
+
+    def test_conv_tasnet_forward(self, rng):
+        from mindaudio_tpu.models import ConvTasNet
+
+        model = ConvTasNet(
+            enc_dim=64, win_len=16, bottleneck=16, hidden=32,
+            num_blocks=2, num_repeats=1, num_spk=2,
+        )
+        mix = jax.random.normal(rng, (2, 800))
+        params = model.init(rng, mix)
+        est = model.apply(params, mix)
+        assert est.shape == (2, 2, 800)
+
+    def test_pit_si_snr(self, rng):
+        from mindaudio_tpu.loss import cal_si_snr_jax, pit_si_snr_loss
+
+        target = jax.random.normal(rng, (2, 2, 400))
+        # est = permuted target → near-perfect SI-SNR after PIT
+        est = target[:, ::-1, :]
+        loss, perm = pit_si_snr_loss(est, target)
+        assert float(loss) < -50.0  # > 50 dB
+        np.testing.assert_array_equal(np.asarray(perm), [[1, 0], [1, 0]])
+        snr_direct = cal_si_snr_jax(target, target)
+        assert float(snr_direct.min()) > 50.0
+
+
+class TestFastSpeech2:
+    def test_forward_train_and_infer(self, rng):
+        from mindaudio_tpu.models import FastSpeech2
+
+        model = FastSpeech2(
+            vocab_size=40, d_model=32, n_mels=20, encoder_layers=1,
+            decoder_layers=1, head_num=2, conv_filter=64, max_seq_len=200,
+        )
+        phon = jnp.ones((2, 12), jnp.int32)
+        src_lens = jnp.array([12, 8])
+        dur = jnp.full((2, 12), 3, jnp.int32)
+        pitch = jnp.zeros((2, 12))
+        energy = jnp.zeros((2, 12))
+        params = model.init(rng, phon, src_lens, 48, pitch, energy, dur)
+        mel, log_d, p, e, mel_len, mel_mask = model.apply(
+            params, phon, src_lens, 48, pitch, energy, dur
+        )
+        assert mel.shape == (2, 48, 20)
+        assert int(mel_len[0]) == 36  # 12 phonemes × 3
+        # inference path (predicted durations)
+        out = model.apply(params, phon, src_lens, 48)
+        assert out[0].shape == (2, 48, 20)
+
+    def test_length_regulator(self, rng):
+        from mindaudio_tpu.models.fastspeech2 import LengthRegulator
+
+        lr_mod = LengthRegulator()
+        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+        dur = jnp.array([[2, 0, 3]])
+        params = lr_mod.init(rng, x, dur, 8)
+        out, mel_len = lr_mod.apply(params, x, dur, 8)
+        assert int(mel_len[0]) == 5
+        # frames 0-1 ← phoneme 0; frames 2-4 ← phoneme 2 (dur 0 skipped)
+        np.testing.assert_allclose(np.asarray(out[0, :2, 0]), [0, 0])
+        np.testing.assert_allclose(np.asarray(out[0, 2:5, 0]), [4, 4, 4])
+        np.testing.assert_allclose(np.asarray(out[0, 5:]), 0.0)
+
+
+class TestWaveGrad:
+    def test_forward_and_diffuse(self, rng):
+        from mindaudio_tpu.models import WaveGrad
+        from mindaudio_tpu.models.wavegrad import diffuse
+
+        model = WaveGrad(
+            up_factors=(5, 5, 3, 2, 2), down_factors=(2, 2, 3, 5),
+            down_channels=(8, 8, 16, 32), film_channels=(8, 8, 16, 32, 32),
+            up_channels=(32, 32, 16, 8, 8),
+        )
+        mel = jax.random.normal(rng, (1, 4, 80))
+        audio = jax.random.normal(rng, (1, 4 * 300))
+        noise_scale = jnp.array([0.5])
+        params = model.init(rng, mel, audio, noise_scale)
+        eps = model.apply(params, mel, audio, noise_scale)
+        assert eps.shape == (1, 1200)
+
+        noisy, noise, scale = diffuse(rng, audio, (0.3, 0.6))
+        assert noisy.shape == audio.shape
+        assert 0.3 <= float(scale[0]) <= 0.6
+
+
+class TestMetrics:
+    def test_wer(self):
+        from mindaudio_tpu.metric import wer
+
+        assert wer(["a", "b", "c"], ["a", "x", "c"]) == pytest.approx(1 / 3)
+        assert wer([["a", "b"]], [["a", "b"]]) == 0.0
+
+    def test_eer(self):
+        from mindaudio_tpu.metric import get_eer
+
+        rng = np.random.default_rng(0)
+        pos = rng.normal(1.0, 0.3, 500)
+        neg = rng.normal(-1.0, 0.3, 500)
+        eer, thresh = get_eer(pos, neg)
+        assert eer < 0.02
+
+    def test_sisnr(self):
+        from mindaudio_tpu.metric import cal_SISNR, cal_SISNRi
+
+        rng = np.random.default_rng(1)
+        s = rng.standard_normal(1000)
+        assert cal_SISNR(s, s) > 70
+        ref = np.stack([s, rng.standard_normal(1000)])
+        mix = ref.sum(0)
+        imp, snr = cal_SISNRi(ref, ref.copy(), mix)
+        assert imp > 30
+
+
+class TestSchedules:
+    def test_asr_warmup(self):
+        from mindaudio_tpu.scheduler import asr_warmup_lr
+
+        sched = asr_warmup_lr(0.001, warmup_steps=100)
+        peak = float(sched(jnp.asarray(100)))
+        early = float(sched(jnp.asarray(10)))
+        late = float(sched(jnp.asarray(10000)))
+        assert early < peak and late < peak
+
+    def test_cosine(self):
+        from mindaudio_tpu.scheduler import cosine_lr
+
+        sched = cosine_lr(1.0, 0.1, 10, 100)
+        assert float(sched(jnp.asarray(100))) == pytest.approx(0.1, abs=1e-6)
+        assert float(sched(jnp.asarray(10))) == pytest.approx(1.0, abs=1e-2)

@@ -1,0 +1,123 @@
+"""Device (JAX) DSP ops vs the host NumPy layer — golden parity tests.
+
+Runs on the CPU backend (conftest forces JAX_PLATFORMS=cpu) but the same code
+path compiles for TPU.
+"""
+
+import numpy as np
+import pytest
+
+import mindaudio_tpu.data.features as hfeat
+import mindaudio_tpu.data.processing as hproc
+import mindaudio_tpu.data.spectrum as hspec
+from mindaudio_tpu import ops
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return (rng.standard_normal((4, 16000)) * 0.3).astype(np.float32)
+
+
+def _rel_err(dev, host):
+    """Max abs error normalized by the host's dynamic range (f32 matmul-DFT
+    vs float64 FFT can't bit-match; scale-relative error is the right bar)."""
+    return np.abs(dev - host).max() / (np.abs(host).max() + 1e-12)
+
+
+class TestDeviceSpectral:
+    def test_stft_matches_host(self, batch):
+        dev = np.asarray(ops.stft(batch, n_fft=512))
+        host = hspec.stft(batch, n_fft=512)
+        assert _rel_err(dev[..., 0], host.real) < 2e-3
+        assert _rel_err(dev[..., 1], host.imag) < 2e-3
+
+    def test_spectrogram_matches_host(self, batch):
+        dev = np.asarray(ops.spectrogram(batch))
+        host = hspec.spectrogram(batch)
+        assert dev.shape == host.shape
+        assert _rel_err(dev, host) < 2e-3
+
+    def test_melspectrogram_matches_host(self, batch):
+        dev = np.asarray(ops.melspectrogram(batch, n_mels=80))
+        host = hspec.melspectrogram(batch, n_mels=80)
+        assert dev.shape == host.shape
+        assert _rel_err(dev, host) < 2e-3
+
+    def test_fbank_matches_host(self, batch):
+        dev = np.asarray(ops.fbank(batch, n_mels=40))
+        host = hfeat.fbank(batch, n_mels=40)
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, rtol=1e-3, atol=2e-2)
+
+    def test_fbank_deltas_context(self, batch):
+        dev = np.asarray(ops.fbank(batch[:2], deltas=True, context=True, n_mels=40))
+        host = hfeat.fbank(batch[:2], deltas=True, context=True, n_mels=40)
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, rtol=1e-3, atol=2e-2)
+
+    def test_mfcc_matches_host(self, batch):
+        dev = np.asarray(ops.mfcc(batch[:2]))
+        host = hfeat.mfcc(batch[:2])
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host, rtol=1e-2, atol=5e-2)
+
+    def test_compute_deltas_matches_host(self):
+        x = np.random.default_rng(1).random((2, 40, 100)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(ops.compute_deltas(x)), hfeat.compute_deltas(x), atol=1e-5
+        )
+
+    def test_overlap_and_add_matches_host(self):
+        sig = np.random.default_rng(2).standard_normal((3, 10, 64)).astype(np.float32)
+        for step in (16, 32, 40, 64):
+            dev = np.asarray(ops.overlap_and_add(sig, step))
+            host = hproc.overlap_and_add(sig, step)
+            np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    def test_kaldi_fbank_shape(self, batch):
+        out = np.asarray(ops.kaldi_fbank(batch, num_mel_bins=80))
+        # snip-edges: 1 + (16000 - 400) // 160 = 98 frames
+        assert out.shape == (4, 98, 80)
+        assert np.isfinite(out).all()
+
+
+class TestSpecAugment:
+    def test_spec_augment_masks(self, batch):
+        import jax
+
+        feats = ops.fbank(batch, n_mels=40)  # (B, freq, time)
+        out = np.asarray(
+            ops.spec_augment(
+                jax.random.PRNGKey(0), np.swapaxes(np.asarray(feats), -1, -2),
+                num_t_mask=2, num_f_mask=2, max_t=20, max_f=10,
+            )
+        )
+        assert out.shape == (4, feats.shape[2], 40)
+        # masked entries are zero and each sample differs
+        assert (out == 0).sum() > 0
+
+    def test_mask_iid_per_sample(self, batch):
+        import jax
+
+        spec = np.ones((4, 32, 64), np.float32)
+        out = np.asarray(ops.mask_along_axis(jax.random.PRNGKey(3), spec, 16, axis=2))
+        # different samples get different masks (with overwhelming probability)
+        patterns = {tuple(np.flatnonzero(out[i][0] == 0)) for i in range(4)}
+        assert len(patterns) > 1
+
+
+class TestPallasMel:
+    def test_fused_logmel_matches_reference(self, batch):
+        out = np.asarray(ops.fused_logmel(batch, n_mels=80, block_frames=64))
+        ref = np.asarray(ops.pallas_mel.fused_logmel_reference(batch, n_mels=80))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+    def test_fused_logmel_odd_lengths(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 12345)).astype(np.float32)
+        out = np.asarray(ops.fused_logmel(x, n_mels=40, block_frames=64))
+        ref = np.asarray(ops.pallas_mel.fused_logmel_reference(x, n_mels=40))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
