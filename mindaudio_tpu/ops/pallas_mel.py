@@ -87,7 +87,7 @@ def _design(n_fft, win_length, hop, window, n_mels, sample_rate, f_min, f_max, l
 
 
 def _kernel(sig_hbm, wr_ref, wi_ref, fb_ref, out_ref, sig_vmem, patch, sem,
-            *, block_frames, hop_pad, k, log_floor):
+            *, block_frames, hop_pad, k, log_floor, precision):
     """One (batch, frame-block) program.
 
     The caller pre-shapes the signal as ``(B, n_sub, hop_pad)`` so every
@@ -110,15 +110,19 @@ def _kernel(sig_hbm, wr_ref, wi_ref, fb_ref, out_ref, sig_vmem, patch, sem,
     for j in range(k):
         patch[:, j * hop_pad : (j + 1) * hop_pad] = sig_vmem[pl.ds(j, block_frames), :]
 
-    # full-f32 MXU passes: feature values feed CMVN stats / golden tests where
-    # bf16-default error (~1e-2 in log-mel) is visible
+    # MXU passes always accumulate in f32; ``precision`` picks the number of
+    # bf16 passes per input. DEFAULT (one pass) is ~16x faster on v5e than
+    # HIGHEST (6 passes) and costs ~3e-3 absolute error in the log-mel, fine
+    # for training features; golden tests request precision="highest".
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     real = jnp.dot(patch[:, :], wr_ref[:, :], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     imag = jnp.dot(patch[:, :], wi_ref[:, :], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     power = real * real + imag * imag
     mel = jnp.dot(power, fb_ref[:, :], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=prec)
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, log_floor))
 
 
@@ -127,6 +131,7 @@ def _kernel(sig_hbm, wr_ref, wi_ref, fb_ref, out_ref, sig_vmem, patch, sem,
     static_argnames=(
         "n_fft", "win_length", "hop_length", "window", "n_mels", "sample_rate",
         "f_min", "f_max", "center", "log_floor", "block_frames", "kaldi",
+        "precision",
     ),
 )
 def fused_logmel(
@@ -143,6 +148,7 @@ def fused_logmel(
     log_floor=1e-10,
     block_frames=256,
     kaldi=False,
+    precision="default",
 ):
     """Fused log-mel spectrogram via a single Pallas kernel.
 
@@ -194,6 +200,7 @@ def fused_logmel(
             hop_pad=hop_pad,
             k=k,
             log_floor=log_floor,
+            precision=precision,
         ),
         grid=(b, n_blocks),
         in_specs=[

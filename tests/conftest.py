@@ -3,19 +3,39 @@
 Multi-chip hardware isn't available in CI; sharded code paths are validated on
 a fake 8-device CPU platform exactly as the reference validates its data layer
 on CPU-only CI (reference .github/workflows/ut_test.yaml runs MindSpore CPU).
-Must run before the first ``import jax`` anywhere in the test session.
+
+The environment pre-imports jax at interpreter startup (axon sitecustomize)
+and pins ``jax_platforms='axon,cpu'``, so env vars set here are too late for
+the *config* but not for *backend creation*: XLA_FLAGS is read when the first
+backend initializes, and ``jax.config.update`` still wins if no backend has
+been created yet. Both are done below, before any test touches a device.
 """
 
 import os
 
-# Force-override: the host environment presets JAX_PLATFORMS=axon (real TPU).
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
-import numpy as np
-import pytest
+import jax  # noqa: E402  (already imported by sitecustomize — cheap)
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # backend already initialized; tests fall back to jax.devices('cpu')
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    # Fail fast if we are about to run the suite against the remote TPU chip:
+    # compile round-trips make the model tests ~20x slower there.
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the virtual CPU mesh; got "
+        f"{jax.devices()[0].platform}"
+    )
+    assert jax.device_count() == 8
 
 
 @pytest.fixture(scope="session")
