@@ -5,8 +5,11 @@ API parity with reference ``mindaudio/data/__init__.py:1-9`` (star re-export of
 every submodule so ``mindaudio_tpu.read``, ``mindaudio_tpu.stft`` etc. resolve).
 """
 
-from . import augment, features, filters, io, processing, spectrum
+from . import aishell, augment, features, filters, io, librispeech, processing, spectrum, voxceleb
+from .aishell import prepare_aishell  # noqa: F401
 from .augment import *  # noqa: F401,F403
+from .librispeech import prepare_librispeech  # noqa: F401
+from .voxceleb import prepare_voxceleb  # noqa: F401
 from .features import *  # noqa: F401,F403
 from .filters import *  # noqa: F401,F403
 from .io import *  # noqa: F401,F403
@@ -20,4 +23,5 @@ __all__ = (
     + list(processing.__all__)
     + list(augment.__all__)
     + list(filters.__all__)
+    + ["prepare_aishell", "prepare_librispeech", "prepare_voxceleb"]
 )

@@ -1,0 +1,252 @@
+"""ASR decode drivers: CTC greedy / CTC prefix beam / attention beam / rescoring.
+
+TPU-native counterpart of reference ``mindaudio/utils/recognize.py``
+(``recognize`` :78, ``ctc_greedy_search`` :254, ``ctc_prefix_beam_search``
+:273, ``attention_rescoring`` :339) and the whole-graph decode nets of
+``examples/conformer/decoder_factory.py``. Division of labor on TPU:
+
+- greedy / per-frame topk / the attention beam loop run **on device** as one
+  jitted program each (the beam loop is a ``lax.fori_loop`` over static
+  shapes, replacing the reference's scatter-update while-graph,
+  decoder_factory.py:141-192);
+- the CTC prefix-beam dynamic program stays **on host** (inherently
+  sequential over hash-keyed prefixes, reference recognize.py:297-337),
+  consuming the device-computed per-frame topk.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import add_sos_eos, log_add, pad_sequence, remove_duplicates_and_blank
+
+__all__ = [
+    "ASRInference",
+    "ctc_prefix_beam_dp",
+]
+
+NEG_INF = -1.0e9
+
+
+def ctc_prefix_beam_dp(
+    top_k_logp: np.ndarray,
+    top_k_index: np.ndarray,
+    n_valid: int,
+    beam_size: int,
+    blank_id: int = 0,
+) -> List[Tuple[Tuple[int, ...], float]]:
+    """Host CTC prefix beam search over per-frame top-k posteriors.
+
+    Args:
+        top_k_logp/top_k_index: ``(T, K)`` per-frame top-k log-probs and ids.
+        n_valid: number of valid frames.
+        beam_size: prefixes kept per step.
+
+    Returns:
+        list of ``(prefix_tuple, log_prob)`` sorted best-first
+        (reference recognize.py:297-337 semantics).
+    """
+    cur_hyps: List[Tuple[Tuple[int, ...], Tuple[float, float]]] = [
+        (tuple(), (0.0, -float("inf")))
+    ]
+    for t in range(int(n_valid)):
+        next_hyps = defaultdict(lambda: (-float("inf"), -float("inf")))
+        for ps, s in zip(top_k_logp[t].tolist(), top_k_index[t].tolist()):
+            s = int(s)
+            for prefix, (pb, pnb) in cur_hyps:
+                last = prefix[-1] if prefix else None
+                if s == blank_id:
+                    n_pb, n_pnb = next_hyps[prefix]
+                    next_hyps[prefix] = (log_add([n_pb, pb + ps, pnb + ps]), n_pnb)
+                elif s == last:
+                    # *ss -> *s (repeat merged into the non-blank path)
+                    n_pb, n_pnb = next_hyps[prefix]
+                    next_hyps[prefix] = (n_pb, log_add([n_pnb, pnb + ps]))
+                    # *s-s -> *ss (blank separated the repeat)
+                    n_prefix = prefix + (s,)
+                    n_pb, n_pnb = next_hyps[n_prefix]
+                    next_hyps[n_prefix] = (n_pb, log_add([n_pnb, pb + ps]))
+                else:
+                    n_prefix = prefix + (s,)
+                    n_pb, n_pnb = next_hyps[n_prefix]
+                    next_hyps[n_prefix] = (n_pb, log_add([n_pnb, pb + ps, pnb + ps]))
+        cur_hyps = sorted(
+            next_hyps.items(), key=lambda x: log_add(list(x[1])), reverse=True
+        )[:beam_size]
+    return [(p, log_add(list(v))) for p, v in cur_hyps]
+
+
+class ASRInference:
+    """Jitted decode front-ends over a trained hybrid ASR model.
+
+    One instance holds compiled programs keyed by input shape (feed
+    length-bucketed features to bound the compile-cache like the reference
+    bounds graph shapes, SURVEY §5.7).
+    """
+
+    def __init__(self, model, variables, beam_size=10, ctc_weight=0.3,
+                 max_tgt_len=50, blank_id=0, sos=None, eos=None):
+        self.model = model
+        self.variables = variables
+        self.beam_size = beam_size
+        self.ctc_weight = ctc_weight
+        self.max_tgt_len = max_tgt_len
+        self.blank_id = blank_id
+        self.sos = model.vocab_size - 1 if sos is None else sos
+        self.eos = model.vocab_size - 1 if eos is None else eos
+
+        self._encode_jit = jax.jit(self._encode)
+        self._encode_greedy = jax.jit(self._encode_greedy_impl)
+        self._encode_topk = jax.jit(self._encode_topk_impl)
+        self._beam_device = jax.jit(self._beam_device_impl)
+        self._rescore_device = jax.jit(self._rescore_device_impl)
+
+    # ---- device programs ----
+
+    def _encode(self, feats, feat_lens):
+        enc_out, enc_mask = self.model.apply(
+            self.variables, feats, feat_lens, method=self.model.encode
+        )
+        log_probs = self.model.apply(
+            self.variables, enc_out, method=self.model.ctc_log_probs
+        )
+        return enc_out, enc_mask, log_probs
+
+    def _encode_greedy_impl(self, feats, feat_lens):
+        enc_out, enc_mask, log_probs = self._encode(feats, feat_lens)
+        best = log_probs.argmax(-1)
+        best_p = log_probs.max(-1)
+        valid = enc_mask[:, 0, :]
+        return jnp.where(valid, best, self.blank_id), (best_p * valid).sum(-1), valid
+
+    def _encode_topk_impl(self, feats, feat_lens):
+        enc_out, enc_mask, log_probs = self._encode(feats, feat_lens)
+        top_logp, top_idx = jax.lax.top_k(log_probs, self.beam_size)
+        return enc_out, enc_mask, top_logp, top_idx
+
+    def _beam_device_impl(self, enc_out, enc_mask):
+        """Batch-1 attention beam search as a device fori_loop
+        (replaces reference decoder_factory.py:141-192)."""
+        beam, eos, sos = self.beam_size, self.eos, self.sos
+        maxlen = self.max_tgt_len
+        memory = jnp.repeat(enc_out, beam, axis=0)
+        mem_mask = jnp.repeat(enc_mask, beam, axis=0)
+
+        hyps = jnp.full((beam, maxlen + 1), eos, jnp.int32).at[:, 0].set(sos)
+        scores = jnp.full((beam,), NEG_INF, jnp.float32).at[0].set(0.0)
+        end_flag = jnp.zeros((beam,), bool)
+
+        eos_only = jnp.full((self.model.vocab_size,), NEG_INF, jnp.float32
+                            ).at[eos].set(0.0)
+
+        def body(i, carry):
+            hyps, scores, end_flag = carry
+            lens = jnp.full((beam,), i + 1, jnp.int32)
+            logits = self.model.apply(
+                self.variables, memory, mem_mask, hyps, lens,
+                method=self.model.decoder_logits,
+            )
+            logp = jax.nn.log_softmax(
+                logits[:, :, :].astype(jnp.float32), axis=-1
+            )
+            step_logp = jnp.take_along_axis(
+                logp, jnp.full((beam, 1, 1), i), axis=1
+            )[:, 0, :]  # (beam, V) — logits at position i predict token i+1
+            step_logp = jnp.where(end_flag[:, None], eos_only[None], step_logp)
+
+            top_logp, top_idx = jax.lax.top_k(step_logp, beam)  # (beam, beam)
+            cand = (scores[:, None] + top_logp).reshape(-1)
+            best_scores, best_flat = jax.lax.top_k(cand, beam)
+            src_beam = best_flat // beam
+            tokens = top_idx.reshape(-1)[best_flat]
+
+            hyps = hyps[src_beam].at[:, i + 1].set(tokens)
+            end_flag = end_flag[src_beam] | (tokens == eos)
+            return hyps, best_scores, end_flag
+
+        hyps, scores, _ = jax.lax.fori_loop(0, maxlen, body, (hyps, scores, end_flag))
+        best = jnp.argmax(scores)
+        return hyps[best], scores[best]
+
+    def _rescore_device_impl(self, enc_out, enc_mask, hyps_in, hyps_lens):
+        beam = hyps_in.shape[0]
+        memory = jnp.repeat(enc_out, beam, axis=0)
+        mem_mask = jnp.repeat(enc_mask, beam, axis=0)
+        logits = self.model.apply(
+            self.variables, memory, mem_mask, hyps_in, hyps_lens,
+            method=self.model.decoder_logits,
+        )
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    # ---- host drivers ----
+
+    def ctc_greedy_search(self, feats, feat_lens):
+        """Best CTC path, repeats/blanks collapsed (reference recognize.py:254)."""
+        best, score, valid = self._encode_greedy(feats, feat_lens)
+        best, valid = np.asarray(best), np.asarray(valid)
+        hyps = [
+            remove_duplicates_and_blank(row[v].tolist(), self.blank_id)
+            for row, v in zip(best, valid)
+        ]
+        return hyps, np.asarray(score)
+
+    def ctc_prefix_beam_search(self, feats, feat_lens):
+        """Batch-1 prefix beam search (reference recognize.py:273).
+
+        Returns ``(hyps, enc_out, enc_mask)`` with hyps best-first.
+        """
+        assert feats.shape[0] == 1, "prefix beam search supports batch 1"
+        enc_out, enc_mask, top_logp, top_idx = self._encode_topk(feats, feat_lens)
+        n_valid = int(np.asarray(enc_mask[0, 0]).sum())
+        hyps = ctc_prefix_beam_dp(
+            np.asarray(top_logp[0]), np.asarray(top_idx[0]),
+            n_valid, self.beam_size, self.blank_id,
+        )
+        return hyps, enc_out, enc_mask
+
+    def recognize(self, feats, feat_lens):
+        """Batch-1 attention beam search; returns (token list, score)."""
+        assert feats.shape[0] == 1
+        enc_out, enc_mask, _ = self._encode_jit(feats, feat_lens)
+        hyp, score = self._beam_device(enc_out, enc_mask)
+        hyp = np.asarray(hyp)[1:]  # drop sos
+        out = []
+        for tok in hyp.tolist():
+            if tok == self.eos:
+                break
+            out.append(int(tok))
+        return out, float(score)
+
+    def attention_rescoring(self, feats, feat_lens):
+        """CTC prefix beam candidates re-scored by one decoder pass
+        (reference recognize.py:339-406)."""
+        hyps, enc_out, enc_mask = self.ctc_prefix_beam_search(feats, feat_lens)
+        beam = len(hyps)
+        hyps_lens = np.array([len(h[0]) for h in hyps], np.int32)
+        max_tgt = self.max_tgt_len
+
+        hyps_in, _ = add_sos_eos(
+            pad_sequence(
+                [np.array(h[0], np.int32) for h in hyps],
+                padding_value=-1, max_len=max_tgt,
+            ),
+            self.sos, self.eos,
+        )
+        dec_logp = np.asarray(self._rescore_device(
+            enc_out, enc_mask, jnp.asarray(hyps_in.astype(np.int32)),
+            jnp.asarray(hyps_lens + 1),
+        ))
+
+        best_score, best_index = -float("inf"), 0
+        for i, (prefix, ctc_score) in enumerate(hyps):
+            score = sum(dec_logp[i][j][w] for j, w in enumerate(prefix))
+            score += dec_logp[i][len(prefix)][self.eos]
+            score += ctc_score * self.ctc_weight
+            if score > best_score:
+                best_score, best_index = score, i
+        return list(hyps[best_index][0]), float(best_score)

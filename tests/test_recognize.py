@@ -1,0 +1,126 @@
+"""Decode-driver tests: CTC prefix-beam DP vs exact enumeration, plus
+end-to-end shape/consistency checks of the four decode modes on a tiny model
+(the reference has no decode tests at all — SURVEY §4)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+
+def _exact_ctc_scores(log_probs, blank=0):
+    """Exact CTC label-sequence posteriors by enumerating all alignments."""
+    T, V = log_probs.shape
+    scores = {}
+    for path in itertools.product(range(V), repeat=T):
+        # collapse path -> label sequence
+        label, prev = [], None
+        for s in path:
+            if s != prev and s != blank:
+                label.append(s)
+            prev = s
+        lp = sum(log_probs[t, s] for t, s in enumerate(path))
+        key = tuple(label)
+        if key in scores:
+            m = max(scores[key], lp)
+            scores[key] = m + np.log(np.exp(scores[key] - m) + np.exp(lp - m))
+        else:
+            scores[key] = lp
+    return scores
+
+
+class TestCTCPrefixBeamDP:
+    def test_matches_exact_enumeration(self):
+        from mindaudio_tpu.utils.recognize import ctc_prefix_beam_dp
+
+        rng = np.random.default_rng(0)
+        T, V = 5, 4
+        logits = rng.standard_normal((T, V))
+        log_probs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+        # full-vocab "topk" makes the beam DP exact up to pruning
+        idx = np.argsort(-log_probs, axis=-1)
+        logp = np.take_along_axis(log_probs, idx, axis=-1)
+        hyps = ctc_prefix_beam_dp(logp, idx, T, beam_size=64)
+
+        exact = _exact_ctc_scores(log_probs)
+        best_exact = max(exact.items(), key=lambda kv: kv[1])
+        assert hyps[0][0] == best_exact[0]
+        np.testing.assert_allclose(hyps[0][1], best_exact[1], rtol=1e-6)
+        # every reported hyp's score matches the exact posterior
+        for prefix, score in hyps[:5]:
+            np.testing.assert_allclose(score, exact[prefix], rtol=1e-6)
+
+    def test_repeat_needs_blank(self):
+        from mindaudio_tpu.utils.recognize import ctc_prefix_beam_dp
+
+        # posterior strongly favors token 1 every frame -> best label is (1,)
+        log_probs = np.log(np.array([[0.05, 0.9, 0.05]] * 4))
+        idx = np.argsort(-log_probs, axis=-1)
+        logp = np.take_along_axis(log_probs, idx, axis=-1)
+        hyps = ctc_prefix_beam_dp(logp, idx, 4, beam_size=8)
+        assert hyps[0][0] == (1,)
+
+
+@pytest.fixture(scope="module")
+def tiny_asr():
+    import jax
+    import jax.numpy as jnp
+
+    from mindaudio_tpu.models.asr_model import ASRModel
+    from mindaudio_tpu.utils.common import add_sos_eos
+    from mindaudio_tpu.utils.recognize import ASRInference
+
+    vocab = 16
+    model = ASRModel(
+        vocab_size=vocab, input_dim=20, d_model=32, head_num=2, ffn_dim=64,
+        num_encoder_layers=1, num_decoder_layers=1,
+    )
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 32, 20)).astype(np.float32)
+    feat_lens = np.array([32], np.int32)
+    labels = np.array([[1, 2, 3]], np.int32)
+    ys_in, ys_out = add_sos_eos(labels, vocab - 1, vocab - 1)
+    batch = {
+        "feats": jnp.asarray(feats), "feat_lens": jnp.asarray(feat_lens),
+        "labels": jnp.asarray(labels), "label_lens": jnp.asarray([3], jnp.int32),
+        "ys_in": jnp.asarray(ys_in.astype(np.int32)),
+        "ys_out": jnp.asarray(ys_out.astype(np.int32)),
+        "ys_lens": jnp.asarray([4], jnp.int32),
+    }
+    variables = {"params": model.init(jax.random.PRNGKey(0), batch)["params"]}
+    inf = ASRInference(model, variables, beam_size=4, max_tgt_len=8)
+    return inf, feats, feat_lens
+
+
+class TestDecodeModes:
+    def test_ctc_greedy(self, tiny_asr):
+        inf, feats, lens = tiny_asr
+        hyps, scores = inf.ctc_greedy_search(feats, lens)
+        assert len(hyps) == 1 and isinstance(hyps[0], list)
+        # deterministic
+        hyps2, _ = inf.ctc_greedy_search(feats, lens)
+        assert hyps == hyps2
+
+    def test_prefix_beam(self, tiny_asr):
+        inf, feats, lens = tiny_asr
+        hyps, enc_out, enc_mask = inf.ctc_prefix_beam_search(feats, lens)
+        assert len(hyps) <= 4
+        scores = [s for _, s in hyps]
+        assert scores == sorted(scores, reverse=True)
+        # greedy result must appear among the beam prefixes for an easy input
+        assert all(isinstance(p, tuple) for p, _ in hyps)
+
+    def test_attention_beam(self, tiny_asr):
+        inf, feats, lens = tiny_asr
+        hyp, score = inf.recognize(feats, lens)
+        assert isinstance(hyp, list) and len(hyp) <= 8
+        assert all(0 <= t < 16 for t in hyp)
+        assert np.isfinite(score)
+
+    def test_attention_rescoring(self, tiny_asr):
+        inf, feats, lens = tiny_asr
+        hyp, score = inf.attention_rescoring(feats, lens)
+        beam_hyps, _, _ = inf.ctc_prefix_beam_search(feats, lens)
+        assert tuple(hyp) in [p for p, _ in beam_hyps]
+        assert np.isfinite(score)
