@@ -1,0 +1,213 @@
+"""Conformer AISHELL-1 training on TPU.
+
+TPU-native counterpart of reference ``examples/conformer/train.py:53``: the
+whole step — kaldi fbank, SpecAugment, CMVN, encoder/decoder forward, hybrid
+loss, backward, clip, update — is ONE jitted XLA program per length bucket,
+sharded batch-over-``data`` (and optionally Megatron TP over ``model``) on a
+mesh. Feature extraction runs on device (the reference burns host CPU in an
+mp.Pool per batch, dataset.py:456-492); gradient all-reduce is GSPMD's psum,
+not a DistributedGradReducer.
+
+Usage:
+    python train.py --config conformer.yaml [--optim.epochs 1] ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
+
+from mindaudio_tpu.models.asr_model import ASRModel
+from mindaudio_tpu.ops.spectral import kaldi_fbank
+from mindaudio_tpu.ops.specaugment import spec_augment
+from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.parallel.shardings import state_shardings
+from mindaudio_tpu.train.checkpoint import CheckpointManager
+from mindaudio_tpu.train.config import get_config
+from mindaudio_tpu.train.log import get_logger
+from mindaudio_tpu.train.state import TrainState
+from mindaudio_tpu.scheduler.schedules import asr_warmup_lr
+from mindaudio_tpu.utils.cmvn import load_cmvn
+from mindaudio_tpu.utils.tokenizer import CharTokenizer
+
+from dataset import FRAME_LEN, FRAME_SHIFT, batch_iterator, read_manifest
+
+
+def build_tokenizer(cfg):
+    vocab_file = cfg.data.vocab_file
+    if os.path.exists(vocab_file):
+        return CharTokenizer.from_file(vocab_file)
+    utts = read_manifest(cfg.data.train_csv)
+    tok = CharTokenizer.from_transcripts(u.text for u in utts)
+    os.makedirs(os.path.dirname(vocab_file) or ".", exist_ok=True)
+    tok.save(vocab_file)
+    return tok
+
+
+def build_model(cfg, vocab_size):
+    cmvn_mean = cmvn_istd = None
+    if os.path.exists(cfg.data.cmvn_file):
+        mean, istd = load_cmvn(cfg.data.cmvn_file)
+        cmvn_mean, cmvn_istd = jnp.asarray(mean), jnp.asarray(istd)
+    return ASRModel(
+        vocab_size=vocab_size,
+        input_dim=cfg.model.input_dim,
+        d_model=cfg.model.d_model,
+        head_num=cfg.model.head_num,
+        ffn_dim=cfg.model.ffn_dim,
+        num_encoder_layers=cfg.model.num_encoder_layers,
+        num_decoder_layers=cfg.model.num_decoder_layers,
+        dropout_rate=cfg.model.dropout_rate,
+        kernel_size=cfg.model.kernel_size,
+        ctc_weight=cfg.model.ctc_weight,
+        lsm_weight=cfg.model.lsm_weight,
+        cmvn_mean=cmvn_mean,
+        cmvn_istd=cmvn_istd,
+        dtype=jnp.bfloat16 if cfg.optim.bf16 else jnp.float32,
+    )
+
+
+def device_features(cfg, wavs, wav_lens, rng, train=True):
+    """On-device fbank (+dither, +SpecAugment) — the jitted hot path."""
+    k_dither, k_aug = jax.random.split(rng)
+    feats = kaldi_fbank(
+        wavs,
+        num_mel_bins=cfg.features.num_mel_bins,
+        frame_length_ms=cfg.features.frame_length_ms,
+        frame_shift_ms=cfg.features.frame_shift_ms,
+        dither=cfg.features.dither if train else 0.0,
+        rng_key=k_dither if train else None,
+    )
+    feat_lens = 1 + (wav_lens - FRAME_LEN) // FRAME_SHIFT
+    if train and cfg.features.spec_aug:
+        feats = spec_augment(
+            k_aug, feats,
+            num_t_mask=cfg.features.num_t_mask,
+            num_f_mask=cfg.features.num_f_mask,
+            max_t=cfg.features.max_t, max_f=cfg.features.max_f,
+        )
+    return feats, feat_lens.astype(jnp.int32)
+
+
+def make_step(cfg, model, mesh, st_sh):
+    def loss_fn(params, batch, rng):
+        k_feat, k_drop, k_chunk = jax.random.split(rng, 3)
+        feats, feat_lens = device_features(
+            cfg, batch["wavs"], batch["wav_lens"], k_feat, train=True
+        )
+        model_batch = dict(batch, feats=feats, feat_lens=feat_lens)
+        loss, metrics = model.apply(
+            {"params": params}, model_batch, deterministic=False,
+            chunk_rng=k_chunk, rngs={"dropout": k_drop},
+        )
+        return loss, metrics
+
+    def step(state, batch):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        state = state.apply_gradients(grads=grads)
+        return state, dict(metrics, loss=loss, grad_norm=gnorm)
+
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, data_sh),
+        out_shardings=(st_sh, repl),
+        donate_argnums=(0,),
+    ), data_sh
+
+
+def main():
+    cfg = get_config(os.path.join(os.path.dirname(__file__), "conformer.yaml"))
+    logger = get_logger("conformer")
+    initialize_distributed()
+
+    model_axis = int(cfg.train.mesh_model_axis)
+    mesh = make_mesh(data=jax.device_count() // model_axis, model=model_axis)
+    logger.info("mesh: %s", mesh)
+
+    tokenizer = build_tokenizer(cfg)
+    logger.info("vocab: %d", tokenizer.vocab_size)
+    model = build_model(cfg, tokenizer.vocab_size)
+
+    # init on the smallest bucket shape
+    it = batch_iterator(
+        cfg.data.train_csv, tokenizer, epochs=int(cfg.optim.epochs),
+        rank=jax.process_index(), world_size=jax.process_count(),
+        speed_perturb=bool(cfg.data.speed_perturb),
+        batch_factor=float(cfg.data.batch_factor),
+        batch_multiple=mesh.shape["data"],
+        max_label_len=int(cfg.data.max_label_len),
+    )
+    epoch, frames, first = next(it)
+    rng = jax.random.PRNGKey(0)
+    feats, feat_lens = device_features(
+        cfg, jnp.asarray(first["wavs"]), jnp.asarray(first["wav_lens"]),
+        rng, train=False,
+    )
+    init_batch = {k: jnp.asarray(v) for k, v in first.items()}
+    init_batch.update(feats=feats, feat_lens=feat_lens)
+    params = model.init(rng, init_batch)["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    logger.info("params: %.1fM", n_params / 1e6)
+
+    schedule = asr_warmup_lr(cfg.optim.lr, cfg.optim.warmup_steps)
+    tx = optax.adamw(schedule, weight_decay=cfg.optim.weight_decay)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx,
+        dropout_rng=jax.random.PRNGKey(42),
+    )
+    st_sh = state_shardings(state, mesh)
+    state = jax.device_put(state, st_sh)
+    step_fn, data_sh = make_step(cfg, model, mesh, st_sh)
+
+    ckpt = CheckpointManager(cfg.train.ckpt_dir,
+                             keep_max=int(cfg.train.keep_checkpoint_max))
+    max_steps = int(cfg.train.max_steps)
+    t0 = time.time()
+
+    def run_batch(state, batch):
+        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        return step_fn(state, dev)
+
+    step_count = 0
+    state, metrics = run_batch(state, first)
+    step_count += 1
+    for epoch, frames, batch in it:
+        state, metrics = run_batch(state, batch)
+        step_count += 1
+        if step_count % int(cfg.train.log_every_steps) == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                "epoch %d step %d bucket %d loss %.4f (att %.4f ctc %.4f acc %.3f) "
+                "%.2f s/step",
+                epoch, step_count, frames, m["loss"], m["loss_att"],
+                m["loss_ctc"], m["acc_att"], (time.time() - t0) / step_count,
+            )
+        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+            ckpt.save(jax.device_get({"params": state.params}), step_count)
+        if max_steps and step_count >= max_steps:
+            break
+
+    if jax.process_index() == 0:
+        ckpt.save(jax.device_get({"params": state.params}), step_count)
+    logger.info("done: %d steps", step_count)
+
+
+if __name__ == "__main__":
+    main()

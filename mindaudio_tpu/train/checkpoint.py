@@ -10,23 +10,43 @@ that its published Conformer CER depends on (conformer.yaml ``avg_30``).
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "average_checkpoints", "CheckpointManager"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "average_checkpoints",
+    "list_steps",
+    "CheckpointManager",
+]
+
+_STEP_DIR = re.compile(r"^step_(\d+)$")
 
 
-def _checkpointer():
-    return ocp.StandardCheckpointer()
+def list_steps(directory):
+    """Committed checkpoint steps (temp ``*.orbax-checkpoint-tmp`` dirs of
+    in-flight saves are excluded)."""
+    if not os.path.isdir(directory):
+        return []
+    steps = []
+    for d in os.listdir(directory):
+        m = _STEP_DIR.match(d)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
 
 
 def save_checkpoint(directory, state, step):
-    """Write ``state`` pytree at ``directory/step_{step}``."""
+    """Write ``state`` pytree at ``directory/step_{step}`` (blocking)."""
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    _checkpointer().save(path, state, force=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.close()  # flush the async metadata commit before returning
     return path
 
 
@@ -34,18 +54,18 @@ def restore_checkpoint(directory, step=None, target=None):
     """Restore a pytree; latest step when ``step`` is None."""
     directory = os.path.abspath(directory)
     if step is None:
-        steps = sorted(
-            int(d.split("_")[1])
-            for d in os.listdir(directory)
-            if d.startswith("step_") and d.split("_")[1].isdigit()
-        )
+        steps = list_steps(directory)
         if not steps:
             raise FileNotFoundError(f"no checkpoints under {directory}")
         step = steps[-1]
     path = os.path.join(directory, f"step_{step}")
-    if target is not None:
-        return _checkpointer().restore(path, target=target)
-    return _checkpointer().restore(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        if target is not None:
+            return ckptr.restore(path, target=target)
+        return ckptr.restore(path)
+    finally:
+        ckptr.close()
 
 
 def average_checkpoints(directory, steps: Sequence[int], target=None):
@@ -85,11 +105,7 @@ class CheckpointManager:
         self._prune()
 
     def _prune(self):
-        steps = sorted(
-            int(d.split("_")[1])
-            for d in os.listdir(self.directory)
-            if d.startswith("step_")
-        )
+        steps = list_steps(self.directory)
         for s in steps[: -self.keep_max] if len(steps) > self.keep_max else []:
             import shutil
 

@@ -226,9 +226,12 @@ class ASRInference:
         """CTC prefix beam candidates re-scored by one decoder pass
         (reference recognize.py:339-406)."""
         hyps, enc_out, enc_mask = self.ctc_prefix_beam_search(feats, feat_lens)
+        max_tgt = self.max_tgt_len
+        # CTC prefixes are bounded by frame count, not max_tgt_len — truncate
+        # so decoder scoring and padding agree
+        hyps = [(h[:max_tgt], s) for h, s in hyps]
         beam = len(hyps)
         hyps_lens = np.array([len(h[0]) for h in hyps], np.int32)
-        max_tgt = self.max_tgt_len
 
         hyps_in, _ = add_sos_eos(
             pad_sequence(
