@@ -1,0 +1,123 @@
+"""DeepSpeech2 LibriSpeech data pipeline: padded raw waveforms + char labels.
+
+TPU-first redesign of reference ``examples/deepspeech2/dataset.py``: the
+reference computes log1p(|STFT|) on host per utterance and pads features to
+fixed 1250/3500 frames ("MindSpore does not support dynamic shape",
+dataset.py:10-15); here the collate pads raw audio into a small set of
+length buckets and the spectrogram + per-utterance normalization run inside
+the jitted train step (train.py). Labels are the reference's 29-char English
+set with ``_`` = CTC blank (deepspeech2.yaml:50-51).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from mindaudio_tpu.data import io
+
+LABELS = [
+    "'", "A", "B", "C", "D", "E", "F", "G", "H", "I", "J", "K", "L", "M",
+    "N", "O", "P", "Q", "R", "S", "T", "U", "V", "W", "X", "Y", "Z", " ", "_",
+]
+BLANK_ID = LABELS.index("_")
+CHAR2ID = {c: i for i, c in enumerate(LABELS)}
+
+SAMPLE_RATE = 16000
+WINDOW_SIZE = 0.02   # 20 ms -> n_fft 320 (reference deepspeech2.yaml audio_conf)
+WINDOW_STRIDE = 0.01
+N_FFT = int(SAMPLE_RATE * WINDOW_SIZE)
+HOP = int(SAMPLE_RATE * WINDOW_STRIDE)
+
+# frame buckets (reference pads everything to 1250 train / 3500 test frames;
+# buckets waste less MXU time on short utterances)
+FRAME_BUCKETS = (400, 800, 1250, 2000, 3500)
+MAX_LABEL_LEN = 350  # reference TRAIN_LABEL_PAD_LENGTH
+
+
+def read_manifest(manifest_json: str) -> List[Tuple[str, str]]:
+    """``libri_*_manifest.json`` → [(wav_path, txt_path)] absolute paths."""
+    with open(manifest_json, encoding="utf-8") as f:
+        data = json.load(f)
+    root = data["data_path"]
+    return [
+        (os.path.join(root, s["wav_path"]), os.path.join(root, s["txt_path"]))
+        for s in data["samples"]
+    ]
+
+
+def encode_transcript(txt_path: str) -> np.ndarray:
+    with open(txt_path, encoding="utf-8") as f:
+        text = f.read().replace("\n", "")
+    ids = [CHAR2ID[c] for c in text.upper() if c in CHAR2ID]
+    return np.asarray(ids, np.int32)
+
+
+def decode_ids(ids: Sequence[int]) -> str:
+    return "".join(LABELS[i] for i in ids if 0 <= i < BLANK_ID or i == BLANK_ID - 1)
+
+
+def _bucket_for(n_frames: int) -> int:
+    for limit in FRAME_BUCKETS:
+        if n_frames <= limit:
+            return limit
+    return FRAME_BUCKETS[-1]
+
+
+def batch_iterator(
+    manifest_json: str,
+    batch_size: int,
+    epochs: int = 1,
+    seed: int = 0,
+    rank: int = 0,
+    world_size: int = 1,
+    shuffle: bool = True,
+) -> Iterator[dict]:
+    """Duration-sorted bucketed batches of raw audio.
+
+    Yields dicts: ``wavs (B, bucket*HOP + N_FFT) f32``, ``wav_lens``,
+    ``labels (B, MAX_LABEL_LEN)``, ``label_lens``.
+    """
+    samples = read_manifest(manifest_json)
+    # sort by file size as a duration proxy (avoids reading headers twice)
+    samples = sorted(samples, key=lambda p: os.path.getsize(p[0]))
+
+    for epoch in range(epochs):
+        rng = np.random.default_rng(seed + epoch)
+        batches = [
+            samples[i: i + batch_size]
+            for i in range(0, len(samples) - batch_size + 1, batch_size)
+        ]
+        if shuffle:
+            rng.shuffle(batches)
+        for group in batches[rank::world_size]:
+            wavs_raw, labels_raw = [], []
+            max_frames = 1
+            for wav_path, txt_path in group:
+                x, sr = io.read(wav_path)
+                x = np.asarray(x, np.float32)
+                if x.ndim > 1:
+                    x = x[:, 0]
+                wavs_raw.append(x)
+                labels_raw.append(encode_transcript(txt_path))
+                max_frames = max(max_frames, 1 + len(x) // HOP)
+            bucket = _bucket_for(max_frames)
+            wav_len = bucket * HOP
+            wavs = np.zeros((len(group), wav_len), np.float32)
+            wav_lens = np.zeros((len(group),), np.int32)
+            labels = np.zeros((len(group), MAX_LABEL_LEN), np.int32)
+            label_lens = np.zeros((len(group),), np.int32)
+            for i, (x, y) in enumerate(zip(wavs_raw, labels_raw)):
+                n = min(len(x), wav_len)
+                wavs[i, :n] = x[:n]
+                wav_lens[i] = n
+                m = min(len(y), MAX_LABEL_LEN)
+                labels[i, :m] = y[:m]
+                label_lens[i] = m
+            yield epoch, {
+                "wavs": wavs, "wav_lens": wav_lens,
+                "labels": labels, "label_lens": label_lens,
+            }
