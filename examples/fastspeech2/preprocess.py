@@ -1,0 +1,145 @@
+"""LJSpeech → FastSpeech2 features (phonemes, mel, pitch, energy, duration).
+
+Counterpart of reference ``examples/fastspeech2/preprocess.py``
+(``get_fs2_features`` :74: pyworld pitch + MFA TextGrid durations). This
+image has neither pyworld nor MFA, so the self-contained substitutes are:
+
+- pitch: per-frame autocorrelation f0 (NumPy), averaged per phoneme span;
+- duration: MFA TextGrids are used when ``<feature_dir>/TextGrid`` exists
+  (one ``<utt>.npy`` int array per utt); otherwise mel frames are split
+  uniformly across phonemes — good enough to train the pipeline end-to-end,
+  swap in MFA alignments for publication-grade prosody.
+
+Writes per-utt ``<utt>.npy`` dicts + ``train.txt`` list.
+Usage: python preprocess.py [--data.ljspeech_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
+
+from mindaudio_tpu.data import io, spectrum
+from mindaudio_tpu.train.config import get_config
+
+from text import load_cmudict, text_to_sequence
+
+
+def estimate_f0(wav, sr, hop, frame_len=1024, fmin=70.0, fmax=400.0):
+    """Per-frame autocorrelation pitch estimate (NumPy, no pyworld)."""
+    n_frames = 1 + len(wav) // hop
+    f0 = np.zeros(n_frames, np.float32)
+    lag_min = int(sr / fmax)
+    lag_max = min(int(sr / fmin), frame_len - 1)
+    pad = np.pad(wav, (frame_len // 2, frame_len))
+    for i in range(n_frames):
+        frame = pad[i * hop: i * hop + frame_len]
+        frame = frame - frame.mean()
+        energy = np.sum(frame**2)
+        if energy < 1e-6:
+            continue
+        ac = np.correlate(frame, frame, mode="full")[frame_len - 1:]
+        seg = ac[lag_min:lag_max]
+        if seg.size == 0:
+            continue
+        lag = lag_min + int(np.argmax(seg))
+        if ac[lag] > 0.3 * ac[0]:  # voicing threshold
+            f0[i] = sr / lag
+    return f0
+
+
+def phoneme_average(frame_values, durations):
+    """Average frame-level values over phoneme spans (FastSpeech2 convention)."""
+    out = np.zeros(len(durations), np.float32)
+    pos = 0
+    for i, d in enumerate(durations):
+        d = int(d)
+        if d > 0:
+            out[i] = frame_values[pos: pos + d].mean()
+        pos += d
+    return out
+
+
+def uniform_durations(n_phones, n_frames):
+    edges = np.linspace(0, n_frames, n_phones + 1)
+    return np.diff(np.round(edges)).astype(np.int32)
+
+
+def main():
+    cfg = get_config(os.path.join(os.path.dirname(__file__), "fastspeech2.yaml"))
+    sr = int(cfg.data.sample_rate)
+    hop = int(cfg.data.hop_length)
+    out_dir = cfg.data.feature_dir
+    os.makedirs(out_dir, exist_ok=True)
+    cmudict = load_cmudict(cfg.data.cmudict_path) if cfg.data.cmudict_path else None
+    tg_dir = os.path.join(out_dir, "TextGrid")
+
+    entries = []
+    meta = os.path.join(cfg.data.ljspeech_dir, "metadata.csv")
+    with open(meta, encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 2:
+                continue
+            utt, text = parts[0], parts[-1]
+            wav_path = os.path.join(cfg.data.ljspeech_dir, "wavs", utt + ".wav")
+            if not os.path.exists(wav_path):
+                continue
+            wav, wav_sr = io.read(wav_path)
+            wav = np.asarray(wav, np.float32)
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+
+            phonemes = np.asarray(text_to_sequence(text, cmudict=cmudict), np.int32)
+            if len(phonemes) == 0:
+                continue
+
+            mel = spectrum.melspectrogram(
+                wav, n_fft=int(cfg.data.n_fft), hop_length=hop,
+                win_length=int(cfg.data.win_length),
+                n_mels=int(cfg.data.n_mels), sample_rate=wav_sr,
+                pad_mode="constant",
+            )  # (n_mels, T)
+            mel = np.log(np.maximum(mel, 1e-5)).T.astype(np.float32)  # (T, n_mels)
+            n_frames = mel.shape[0]
+
+            tg = os.path.join(tg_dir, utt + ".npy")
+            if os.path.exists(tg):
+                durations = np.load(tg).astype(np.int32)
+                durations = durations[: len(phonemes)]
+                if len(durations) < len(phonemes):
+                    durations = np.pad(durations, (0, len(phonemes) - len(durations)))
+            else:
+                durations = uniform_durations(len(phonemes), n_frames)
+
+            # log1p keeps pitch in the variance-adaptor bin range
+            # (VarianceAdaptor.pitch_range ≈ (-2.9, 11.4)); raw Hz would swamp
+            # the MSE pitch loss term
+            f0 = np.log1p(estimate_f0(wav, wav_sr, hop)[:n_frames])
+            energy = np.sqrt(
+                np.add.reduceat(
+                    np.pad(wav, (0, max(0, n_frames * hop - len(wav)))) ** 2,
+                    np.arange(0, n_frames * hop, hop),
+                ) / hop
+            ).astype(np.float32)
+
+            np.save(os.path.join(out_dir, utt + ".npy"), {
+                "phonemes": phonemes,
+                "mel": mel,
+                "pitch": phoneme_average(f0, durations),
+                "energy": phoneme_average(energy, durations),
+                "duration": durations,
+            })
+            entries.append(utt)
+
+    with open(os.path.join(out_dir, "train.txt"), "w") as f:
+        f.write("\n".join(entries))
+    print(f"wrote {len(entries)} utterances to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

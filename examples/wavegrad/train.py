@@ -1,0 +1,151 @@
+"""WaveGrad LJSpeech training on TPU.
+
+Counterpart of reference ``examples/wavegrad/train.py:91`` +
+``dataset.py:10`` (``diffuse``): the host crops random mel/audio windows;
+the q-sample (noise-level interpolation) and the L1 noise-prediction loss
+run inside the jitted sharded step with explicit PRNG keys.
+
+Usage: python train.py [--train.max_steps 10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
+
+from mindaudio_tpu.models.wavegrad import (
+    WaveGrad,
+    WaveGradWithLoss,
+    default_noise_schedule,
+    diffuse,
+)
+from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.train.checkpoint import CheckpointManager
+from mindaudio_tpu.train.config import get_config
+from mindaudio_tpu.train.log import get_logger
+from mindaudio_tpu.train.state import TrainState
+
+
+def crop_iterator(cfg, batch_size, epochs, seed=0, rank=0, world_size=1):
+    """Random (mel crop, audio crop) batches (reference dataset.py:21)."""
+    feature_dir = cfg.data.feature_dir
+    with open(os.path.join(feature_dir, "train.txt"), encoding="utf-8") as f:
+        utts = [line.strip() for line in f if line.strip()]
+    crop = int(cfg.data.crop_frames)
+    hop = int(cfg.data.hop_length)
+    for epoch in range(epochs):
+        rng = np.random.default_rng(seed + epoch)
+        order = rng.permutation(len(utts))
+        sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
+        for batch_idx in sel[rank::world_size]:
+            mel = np.zeros((batch_size, crop, int(cfg.data.n_mels)), np.float32)
+            audio = np.zeros((batch_size, crop * hop), np.float32)
+            for i, u in enumerate(batch_idx):
+                d = np.load(os.path.join(feature_dir, utts[u] + ".npy"),
+                            allow_pickle=True).item()
+                t = d["mel"].shape[0]
+                if t <= crop:
+                    mel[i, :t] = d["mel"]
+                    audio[i, : t * hop] = d["audio"][: t * hop]
+                else:
+                    off = rng.integers(0, t - crop + 1)
+                    mel[i] = d["mel"][off: off + crop]
+                    audio[i] = d["audio"][off * hop: (off + crop) * hop]
+            yield epoch, {"mel": mel, "audio": audio}
+
+
+def main():
+    cfg = get_config(os.path.join(os.path.dirname(__file__), "wavegrad.yaml"))
+    logger = get_logger("wavegrad")
+    initialize_distributed()
+    mesh = make_mesh(data=jax.device_count())
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    net = WaveGradWithLoss(model=WaveGrad())
+    betas = default_noise_schedule(
+        int(cfg.diffusion.num_steps), float(cfg.diffusion.beta_start),
+        float(cfg.diffusion.beta_end),
+    )
+    noise_levels = jnp.asarray(
+        np.sqrt(np.cumprod(1.0 - betas)), jnp.float32
+    )
+
+    n_data = mesh.shape["data"]
+    batch_size = max(n_data, int(cfg.data.batch_size) // n_data * n_data)
+    it = crop_iterator(cfg, batch_size, int(cfg.optim.epochs),
+                       rank=jax.process_index(), world_size=jax.process_count())
+    epoch, first = next(it)
+
+    def loss_fn(params, batch, rng):
+        k_s, k_noise = jax.random.split(rng)
+        s = jax.random.randint(k_s, (), 1, noise_levels.shape[0])
+        noisy, noise, scale = diffuse(
+            k_noise, batch["audio"], (noise_levels[s], noise_levels[s - 1])
+        )
+        return net.apply({"params": params}, batch["mel"], noisy, scale, noise)
+
+    rng = jax.random.PRNGKey(0)
+    k_s, k_noise = jax.random.split(rng)
+    s0 = 500
+    noisy, noise, scale = diffuse(
+        k_noise, jnp.asarray(first["audio"]),
+        (noise_levels[s0], noise_levels[s0 - 1]),
+    )
+    params = net.init(rng, jnp.asarray(first["mel"]), noisy, scale, noise)["params"]
+    tx = optax.adam(float(cfg.optim.lr))
+    state = TrainState.create(apply_fn=net.apply, params=params, tx=tx,
+                              dropout_rng=jax.random.PRNGKey(3))
+    state = jax.device_put(state, repl)
+
+    def step(state, batch):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        return state.apply_gradients(grads=grads), {"loss": loss, "grad_norm": gnorm}
+
+    step_fn = jax.jit(step, in_shardings=(repl, data_sh),
+                      out_shardings=(repl, repl), donate_argnums=(0,))
+
+    ckpt = CheckpointManager(cfg.train.ckpt_dir,
+                             keep_max=int(cfg.train.keep_checkpoint_max))
+    max_steps = int(cfg.train.max_steps)
+    t0 = time.time()
+    step_count = 0
+
+    def run(state, batch):
+        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        return step_fn(state, dev)
+
+    state, metrics = run(state, first)
+    step_count += 1
+    for epoch, batch in it:
+        state, metrics = run(state, batch)
+        step_count += 1
+        if step_count % int(cfg.train.log_every_steps) == 0:
+            logger.info("epoch %d step %d loss %.5f %.2f s/step",
+                        epoch, step_count, float(metrics["loss"]),
+                        (time.time() - t0) / step_count)
+        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+            ckpt.save(jax.device_get({"params": state.params}), step_count)
+        if max_steps and step_count >= max_steps:
+            break
+
+    if jax.process_index() == 0:
+        ckpt.save(jax.device_get({"params": state.params}), step_count)
+    logger.info("done: %d steps", step_count)
+
+
+if __name__ == "__main__":
+    main()
