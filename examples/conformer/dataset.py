@@ -27,6 +27,21 @@ SAMPLE_RATE = 16000
 FRAME_SHIFT = 160   # 10 ms
 FRAME_LEN = 400     # 25 ms
 
+_NATIVE = None
+
+
+def _native_loader():
+    """Lazy-load (and build) the C++ batch wav decoder; None if unavailable."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from mindaudio_tpu import _native
+
+            _NATIVE = _native if _native.available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE or None
+
 
 @dataclass
 class Utt:
@@ -134,24 +149,39 @@ def collate(
     """
     rng = rng or np.random.default_rng()
     wav_len = bucket_frames * FRAME_SHIFT + FRAME_LEN
-    wavs = np.zeros((len(utts), wav_len), np.float32)
-    wav_lens = np.zeros((len(utts),), np.int32)
-    labels = []
-    for i, u in enumerate(utts):
-        x, sr = io.read(u.wav)
-        x = np.asarray(x, np.float32)
-        if x.ndim > 1:
-            x = x[:, 0]
-        if sr != SAMPLE_RATE:
-            x = resample(x, sr, SAMPLE_RATE)
-        if speed_perturb:
-            speed = rng.choice([0.9, 1.0, 1.1])
-            if speed != 1.0:
-                x = resample(x, int(SAMPLE_RATE * speed), SAMPLE_RATE)
-        n = min(len(x), wav_len)
-        wavs[i, :n] = x[:n]
-        wav_lens[i] = n
-        labels.append(np.asarray(tokenizer.encode(u.text), np.int32))
+    n_utts = len(utts)
+
+    # fast path: C++ thread-pool batch decode (mindaudio_tpu/_native); the
+    # NumPy path covers resampling/odd formats and missing toolchains
+    native_batch = None
+    if not speed_perturb and _native_loader() is not None:
+        wavs, wav_lens, rates = _native_loader().wav_read_batch(
+            [u.wav for u in utts], wav_len
+        )
+        if (rates == SAMPLE_RATE).all():
+            native_batch = (wavs, wav_lens.astype(np.int32))
+
+    if native_batch is not None:
+        wavs, wav_lens = native_batch
+    else:
+        wavs = np.zeros((n_utts, wav_len), np.float32)
+        wav_lens = np.zeros((n_utts,), np.int32)
+        for i, u in enumerate(utts):
+            x, sr = io.read(u.wav)
+            x = np.asarray(x, np.float32)
+            if x.ndim > 1:
+                x = x[:, 0]
+            if sr != SAMPLE_RATE:
+                x = resample(x, sr, SAMPLE_RATE)
+            if speed_perturb:
+                speed = rng.choice([0.9, 1.0, 1.1])
+                if speed != 1.0:
+                    x = resample(x, int(SAMPLE_RATE * speed), SAMPLE_RATE)
+            n = min(len(x), wav_len)
+            wavs[i, :n] = x[:n]
+            wav_lens[i] = n
+
+    labels = [np.asarray(tokenizer.encode(u.text), np.int32) for u in utts]
 
     ys_pad = pad_sequence(labels, padding_value=IGNORE_ID, max_len=max_label_len)
     ys_in, ys_out = add_sos_eos(ys_pad, tokenizer.sos, tokenizer.eos)

@@ -1,0 +1,53 @@
+"""Native wav batch loader vs the NumPy io path (bit parity + error flags)."""
+
+import numpy as np
+import pytest
+
+from mindaudio_tpu.data import io
+
+
+@pytest.fixture(scope="module")
+def native():
+    from mindaudio_tpu import _native
+
+    if not _native.available():
+        pytest.skip("g++ build unavailable")
+    return _native
+
+
+class TestNativeWavLoader:
+    def test_parity_int16(self, native, tmp_path):
+        rng = np.random.default_rng(0)
+        paths = []
+        refs = []
+        for i in range(6):
+            x = (rng.standard_normal(4000 + 321 * i) * 0.3).astype(np.float32)
+            p = str(tmp_path / f"a{i}.wav")
+            io.write(p, (x * 32767).astype(np.int16), 16000)
+            paths.append(p)
+            refs.append(io.read(p)[0])
+
+        batch, lens, rates = native.wav_read_batch(paths, max_len=8000)
+        assert batch.shape == (6, 8000)
+        for i, ref in enumerate(refs):
+            assert rates[i] == 16000
+            assert lens[i] == len(ref)
+            np.testing.assert_allclose(batch[i, : lens[i]], ref, atol=1e-6)
+            assert (batch[i, lens[i]:] == 0).all()
+
+    def test_parity_float32_and_24bit_clamp(self, native, tmp_path):
+        x = (np.sin(np.arange(5000) / 30.0) * 0.5).astype(np.float32)
+        p = str(tmp_path / "f32.wav")
+        io.write(p, x, 22050)
+        batch, lens, rates = native.wav_read_batch([p], max_len=3000)
+        assert rates[0] == 22050 and lens[0] == 3000  # clamped to max_len
+        np.testing.assert_allclose(batch[0], x[:3000], atol=1e-7)
+
+    def test_bad_file_flagged(self, native, tmp_path):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"not a wav file at all")
+        good = tmp_path / "good.wav"
+        io.write(str(good), np.zeros(100, np.float32), 8000)
+        batch, lens, rates = native.wav_read_batch([str(bad), str(good)], 200)
+        assert rates[0] == 0 and rates[1] == 8000
+        assert lens[1] == 100
