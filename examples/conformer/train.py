@@ -124,12 +124,27 @@ def make_step(cfg, model, mesh, st_sh):
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    return jax.jit(
+
+    def eval_step(params, batch):
+        feats, feat_lens = device_features(
+            cfg, batch["wavs"], batch["wav_lens"],
+            jax.random.PRNGKey(0), train=False,
+        )
+        loss, _ = model.apply(
+            {"params": params}, dict(batch, feats=feats, feat_lens=feat_lens),
+            deterministic=True,
+        )
+        return loss
+
+    eval_fn = jax.jit(eval_step, in_shardings=(st_sh.params, data_sh),
+                      out_shardings=repl)
+    train_fn = jax.jit(
         step,
         in_shardings=(st_sh, data_sh),
         out_shardings=(st_sh, repl),
         donate_argnums=(0,),
-    ), data_sh
+    )
+    return train_fn, eval_fn, data_sh
 
 
 def main():
@@ -174,7 +189,26 @@ def main():
     )
     st_sh = state_shardings(state, mesh)
     state = jax.device_put(state, st_sh)
-    step_fn, data_sh = make_step(cfg, model, mesh, st_sh)
+    step_fn, eval_fn, data_sh = make_step(cfg, model, mesh, st_sh)
+
+    def eval_loss(state, max_batches=20):
+        """Mean dev loss over a bounded batch sample (EvalCallback parity:
+        checkpoint selection for top-N averaging, reference callback.py:256)."""
+        total, n = 0.0, 0
+        for _, frames, batch in batch_iterator(
+            cfg.data.dev_csv, tokenizer, epochs=1, speed_perturb=False,
+            batch_multiple=mesh.shape["data"],
+            batch_factor=float(cfg.data.batch_factor),
+            max_label_len=int(cfg.data.max_label_len),
+        ):
+            dev = {k: jax.device_put(jnp.asarray(v), data_sh)
+                   for k, v in batch.items()}
+            total += float(eval_fn(state.params, dev))
+            n += 1
+            if n >= max_batches:
+                break
+        # no full dev batch (tiny dev set vs data-axis multiple): rank last
+        return total / n if n else float("inf")
 
     ckpt = CheckpointManager(cfg.train.ckpt_dir,
                              keep_max=int(cfg.train.keep_checkpoint_max))
@@ -200,7 +234,10 @@ def main():
                 m["loss_ctc"], m["acc_att"], (time.time() - t0) / step_count,
             )
         if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
-            ckpt.save(jax.device_get({"params": state.params}), step_count)
+            dev_loss = eval_loss(state)
+            logger.info("eval @ step %d: dev loss %.4f", step_count, dev_loss)
+            ckpt.save(jax.device_get({"params": state.params}), step_count,
+                      eval_metric=dev_loss)
         if max_steps and step_count >= max_steps:
             break
 
