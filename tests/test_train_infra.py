@@ -1,0 +1,104 @@
+"""Training-substrate unit tests: config, tokenizer, CMVN, checkpoints,
+profiler — pieces the reference never tests (SURVEY §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class TestConfig:
+    def test_base_inheritance_and_cli(self, tmp_path):
+        from mindaudio_tpu.train.config import get_config, load_config
+
+        base = tmp_path / "base.yaml"
+        base.write_text("optim:\n  lr: 0.1\n  epochs: 10\nname: base\n")
+        child = tmp_path / "child.yaml"
+        child.write_text(f"base_config: {base}\noptim:\n  lr: 0.2\n")
+
+        cfg = load_config(str(child))
+        assert cfg.optim.lr == 0.2          # child wins
+        assert cfg.optim.epochs == 10       # inherited
+        assert cfg.name == "base"
+
+        cfg = get_config(str(child), argv=["--optim.epochs", "3"])
+        assert cfg.optim.epochs == 3        # CLI wins
+
+    def test_bool_override(self, tmp_path):
+        from mindaudio_tpu.train.config import get_config
+
+        y = tmp_path / "c.yaml"
+        y.write_text("flag: true\n")
+        cfg = get_config(str(y), argv=["--flag", "false"])
+        assert cfg.flag is False
+
+
+class TestTokenizer:
+    def test_roundtrip_and_special_ids(self, tmp_path):
+        from mindaudio_tpu.utils.tokenizer import CharTokenizer
+
+        tok = CharTokenizer.from_transcripts(["你好 世界", "hello"])
+        assert tok.blank_id == 0 and tok.unk_id == 1
+        assert tok.sos == tok.eos == tok.vocab_size - 1
+        ids = tok.encode("你好")
+        assert tok.decode(ids) == "你好"
+        assert tok.encode("§") == [tok.unk_id]  # unseen char -> unk
+
+        path = str(tmp_path / "lang_char.txt")
+        tok.save(path)
+        tok2 = CharTokenizer.from_file(path)
+        assert tok2.vocab_size == tok.vocab_size
+        assert tok2.encode("你好") == ids
+
+
+class TestCMVN:
+    def test_masked_stats_roundtrip(self, tmp_path):
+        from mindaudio_tpu.utils.cmvn import CMVNAccumulator, load_cmvn, save_cmvn
+
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((4, 50, 8)) * 3.0 + 1.5
+        lens = np.array([50, 30, 10, 45])
+        acc = CMVNAccumulator(8)
+        acc.update(feats, lens)
+        mean, istd = acc.finalize()
+
+        valid = np.concatenate([feats[i, : lens[i]] for i in range(4)])
+        np.testing.assert_allclose(mean, valid.mean(0), rtol=1e-5)
+        np.testing.assert_allclose(istd, 1 / valid.std(0), rtol=1e-4)
+
+        path = str(tmp_path / "cmvn.json")
+        save_cmvn(path, acc)
+        m2, i2 = load_cmvn(path)
+        np.testing.assert_allclose(m2, mean, rtol=1e-6)
+        np.testing.assert_allclose(i2, istd, rtol=1e-6)
+
+
+class TestCheckpointManager:
+    def test_retention_and_best(self, tmp_path):
+        from mindaudio_tpu.train.checkpoint import (
+            CheckpointManager, average_checkpoints, list_steps,
+        )
+
+        mgr = CheckpointManager(str(tmp_path), keep_max=3)
+        for step, metric in [(1, 5.0), (2, 3.0), (3, 4.0), (4, 2.0)]:
+            mgr.save({"w": np.full((2,), float(step), np.float32)}, step,
+                     eval_metric=metric)
+        assert list_steps(str(tmp_path)) == [2, 3, 4]  # keep_max pruned step 1
+        assert mgr.best_steps(2) == [4, 2]             # lowest metric first
+
+        avg = average_checkpoints(str(tmp_path), [2, 4])
+        np.testing.assert_allclose(avg["w"], np.full((2,), 3.0))
+
+
+class TestProfiler:
+    def test_step_timer(self):
+        from mindaudio_tpu.train.profiler import StepTimer
+
+        t = StepTimer(total_steps=10, warmup=1)
+        for _ in range(3):
+            with t:
+                pass
+        assert t.count == 3
+        assert t.avg_ms >= 0
+        assert t.eta_s is not None
+        assert "step 3" in t.summary()
