@@ -1,0 +1,85 @@
+"""Streaming conformer: chunk-mask construction and chunked-encoder behavior
+(reference utils/mask.py:169-271 + conformer dynamic-chunk training)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mindaudio_tpu.utils.mask import (
+    add_optional_chunk_mask,
+    make_non_pad_mask,
+    subsequent_chunk_mask,
+)
+
+
+class TestChunkMasks:
+    def test_subsequent_chunk_mask(self):
+        m = np.asarray(subsequent_chunk_mask(6, chunk_size=2))
+        # frame 0,1 see chunk 0 only; frame 2,3 see chunks 0-1; etc.
+        assert m.shape == (6, 6)
+        assert m[0].tolist() == [True, True, False, False, False, False]
+        assert m[3].tolist() == [True, True, True, True, False, False]
+        assert m[5].tolist() == [True] * 6
+
+    def test_left_chunks_limit(self):
+        m = np.asarray(subsequent_chunk_mask(8, chunk_size=2, num_left_chunks=1))
+        # frame 6 sees its chunk (6,7) plus 1 left chunk (4,5) only
+        assert m[6].tolist() == [False] * 4 + [True] * 4
+
+    def test_static_chunk_masking(self):
+        lens = jnp.asarray([8, 6])
+        pad = make_non_pad_mask(lens, 8)[:, None, :]
+        chunk = add_optional_chunk_mask(
+            lens, pad, use_dynamic_chunk=False, use_dynamic_left_chunk=False,
+            decoding_chunk_size=0, static_chunk_size=2, num_decoding_left_chunks=-1,
+        )
+        m = np.asarray(chunk[0])
+        assert m.shape == (8, 8)
+        assert not m[0, 2]  # first frame can't see the next chunk
+        assert m[2, 0]      # later frames see earlier chunks
+
+    def test_dynamic_chunk_needs_rng(self):
+        lens = jnp.asarray([8])
+        pad = make_non_pad_mask(lens, 8)[:, None, :]
+        out = add_optional_chunk_mask(
+            lens, pad, use_dynamic_chunk=True, use_dynamic_left_chunk=False,
+            decoding_chunk_size=0, static_chunk_size=0,
+            num_decoding_left_chunks=-1, rng_key=jax.random.PRNGKey(0),
+        )
+        assert out.shape == (1, 8, 8)
+
+
+class TestChunkedEncoder:
+    def test_chunked_vs_full_context_differ_only_late(self):
+        """A chunked encoder must not attend across chunk boundaries: output
+        at frame 0 is independent of far-future input frames."""
+        from mindaudio_tpu.models.conformer import ConformerEncoder
+
+        enc = ConformerEncoder(
+            input_dim=16, d_model=32, head_num=2, ffn_dim=64, num_layers=1,
+            static_chunk_size=2, kernel_size=3,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 40, 16)).astype(np.float32)
+        lens = jnp.asarray([40])
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), lens)["params"]
+        out1, _ = enc.apply({"params": params}, jnp.asarray(x), lens)
+
+        # perturb the last 8 input frames; early outputs must stay similar
+        # (conv front-end has small receptive-field bleed; attention must not)
+        x2 = x.copy()
+        x2[:, -8:] += 10.0
+        out2, _ = enc.apply({"params": params}, jnp.asarray(x2), lens)
+        early1, early2 = np.asarray(out1)[:, :2], np.asarray(out2)[:, :2]
+        np.testing.assert_allclose(early1, early2, atol=1e-3)
+
+        # sanity: a full-context encoder DOES change early outputs
+        full = ConformerEncoder(
+            input_dim=16, d_model=32, head_num=2, ffn_dim=64, num_layers=1,
+            kernel_size=3,
+        )
+        fparams = full.init(jax.random.PRNGKey(0), jnp.asarray(x), lens)["params"]
+        f1, _ = full.apply({"params": fparams}, jnp.asarray(x), lens)
+        f2, _ = full.apply({"params": fparams}, jnp.asarray(x2), lens)
+        assert np.abs(np.asarray(f1)[:, :2] - np.asarray(f2)[:, :2]).max() > 1e-3
