@@ -34,7 +34,7 @@ from mindaudio_tpu.parallel.shardings import state_shardings
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
-from mindaudio_tpu.train.state import TrainState
+from mindaudio_tpu.train.state import TrainState, skip_nonfinite_update
 from mindaudio_tpu.scheduler.schedules import asr_warmup_lr
 from mindaudio_tpu.utils.cmvn import load_cmvn
 from mindaudio_tpu.utils.tokenizer import CharTokenizer
@@ -119,8 +119,10 @@ def make_step(cfg, model, mesh, st_sh):
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        state = state.apply_gradients(grads=grads)
-        return state, dict(metrics, loss=loss, grad_norm=gnorm)
+        new_state = skip_nonfinite_update(
+            state, state.apply_gradients(grads=grads), loss
+        )
+        return new_state, dict(metrics, loss=loss, grad_norm=gnorm)
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())

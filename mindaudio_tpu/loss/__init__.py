@@ -1,6 +1,6 @@
 """Training objectives (reference ``mindaudio/loss/``)."""
 
-from .aam_softmax import additive_angular_margin  # noqa: F401
+from .aam_softmax import aam_softmax_loss, additive_angular_margin  # noqa: F401
 from .ctc_loss import ctc_loss  # noqa: F401
 from .fastspeech2_loss import fastspeech2_loss  # noqa: F401
 from .label_smoothing_loss import label_smoothing_loss  # noqa: F401

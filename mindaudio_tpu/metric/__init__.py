@@ -2,4 +2,4 @@
 
 from .eer import get_eer, get_eer_from_scores  # noqa: F401
 from .snr import cal_SDRi, cal_SISNR, cal_SISNRi  # noqa: F401
-from .wer import wer  # noqa: F401
+from .wer import cer, wer  # noqa: F401

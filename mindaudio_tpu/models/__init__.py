@@ -3,6 +3,7 @@ families (reference models/__init__.py:1-6 public names plus EcapaTDNN /
 ConvTasNet, which the reference examples import directly).
 """
 
+from .asr_model import ASRModel  # noqa: F401
 from .conformer import ConformerEncoder, TransformerDecoder  # noqa: F401
 from .conv_tasnet import ConvTasNet  # noqa: F401
 from .deepspeech2 import DeepSpeechModel  # noqa: F401

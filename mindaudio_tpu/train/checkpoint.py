@@ -118,3 +118,30 @@ class CheckpointManager:
 
     def average_best(self, n, target=None):
         return average_checkpoints(self.directory, self.best_steps(n), target=target)
+
+
+def _main():
+    """CLI: offline checkpoint averaging (reference utils/average_model.py:10).
+
+    Usage: python -m mindaudio_tpu.train.checkpoint --ckpt_dir DIR
+           [--num 30] [--steps 100 200 ...] --output DIR/avg
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="average checkpoints")
+    parser.add_argument("--ckpt_dir", required=True)
+    parser.add_argument("--num", type=int, default=30, help="last-N to average")
+    parser.add_argument("--steps", type=int, nargs="*", default=None)
+    parser.add_argument("--output", required=True)
+    args = parser.parse_args()
+
+    steps = args.steps or list_steps(args.ckpt_dir)[-args.num:]
+    avg = average_checkpoints(args.ckpt_dir, steps)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.output), avg, force=True)
+    ckptr.close()
+    print(f"averaged {len(steps)} checkpoints {steps} -> {args.output}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -38,12 +38,26 @@ def create_train_state(model, params, tx, batch_stats=None, dropout_rng=None):
     )
 
 
+def skip_nonfinite_update(old_state, new_state, loss):
+    """Keep the old state when loss/grads went non-finite.
+
+    The bf16 counterpart of the reference's loss-scale overflow skip
+    (reference utils/train_one_step.py:44-46): no dynamic scaling is needed
+    with f32 params, but a rare inf/nan batch shouldn't poison the weights.
+    """
+    ok = jnp.isfinite(loss)
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_state, old_state
+    )
+
+
 def make_train_step(
     loss_fn: Callable,
     mesh=None,
     grad_clip_norm: Optional[float] = None,
     has_batch_stats: bool = False,
     donate: bool = True,
+    skip_nonfinite: bool = True,
 ):
     """Build a jitted (optionally mesh-sharded) train step.
 
@@ -77,6 +91,8 @@ def make_train_step(
         new_state = state.apply_gradients(grads=grads)
         if has_batch_stats and "batch_stats" in aux:
             new_state = new_state.replace(batch_stats=aux.pop("batch_stats"))
+        if skip_nonfinite:
+            new_state = skip_nonfinite_update(state, new_state, loss)
         metrics = dict(aux, loss=loss)
         return new_state, metrics
 

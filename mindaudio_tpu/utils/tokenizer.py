@@ -72,3 +72,37 @@ class CharTokenizer:
             self.symbols[i] for i in ids
             if 0 < i < self.vocab_size - 1 and self.symbols[i] != "<unk>"
         )
+
+
+def _main():
+    """CLI: build a lang_char.txt from transcripts (reference text2token.py:129).
+
+    Usage: python -m mindaudio_tpu.utils.tokenizer --input train.csv|trans.txt
+           --output lang_char.txt [--column transcript]
+    """
+    import argparse
+    import csv
+
+    parser = argparse.ArgumentParser(description="build char vocab")
+    parser.add_argument("--input", required=True,
+                        help="CSV manifest with a transcript column, or a "
+                             "plain text file (one transcript per line)")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--column", default="transcript")
+    args = parser.parse_args()
+
+    texts = []
+    with open(args.input, encoding="utf-8") as f:
+        head = f.readline()
+        f.seek(0)
+        if "," in head and args.column in head:
+            texts = [row[args.column] for row in csv.DictReader(f)]
+        else:
+            texts = [line.strip() for line in f if line.strip()]
+    tok = CharTokenizer.from_transcripts(texts)
+    tok.save(args.output)
+    print(f"{args.output}: {tok.vocab_size} symbols")
+
+
+if __name__ == "__main__":
+    _main()
