@@ -189,6 +189,25 @@ def main():
         apply_fn=model.apply, params=params, tx=tx,
         dropout_rng=jax.random.PRNGKey(42),
     )
+
+    # resume: restore params/opt_state/step from the latest checkpoint
+    # (reference ResumeCallback + start_steps LR offset, callback.py:450,
+    # examples/conformer/train.py:118-133 — the step count lives in the state
+    # so the Noam schedule resumes at the right point automatically)
+    from mindaudio_tpu.train.checkpoint import list_steps, restore_checkpoint
+
+    if bool(cfg.train.get("resume", False)) and list_steps(cfg.train.ckpt_dir):
+        target = jax.device_get({
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step,
+        })
+        restored = restore_checkpoint(cfg.train.ckpt_dir, target=target)
+        state = state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        logger.info("resumed from step %d", int(state.step))
+
     st_sh = state_shardings(state, mesh)
     state = jax.device_put(state, st_sh)
     step_fn, eval_fn, data_sh = make_step(cfg, model, mesh, st_sh)
@@ -238,13 +257,18 @@ def main():
         if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
             dev_loss = eval_loss(state)
             logger.info("eval @ step %d: dev loss %.4f", step_count, dev_loss)
-            ckpt.save(jax.device_get({"params": state.params}), step_count,
-                      eval_metric=dev_loss)
+            ckpt.save(jax.device_get({
+                "params": state.params, "opt_state": state.opt_state,
+                "step": state.step,
+            }), step_count, eval_metric=dev_loss)
         if max_steps and step_count >= max_steps:
             break
 
     if jax.process_index() == 0:
-        ckpt.save(jax.device_get({"params": state.params}), step_count)
+        ckpt.save(jax.device_get({
+            "params": state.params, "opt_state": state.opt_state,
+            "step": state.step,
+        }), step_count)
     logger.info("done: %d steps", step_count)
 
 
