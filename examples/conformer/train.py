@@ -72,6 +72,7 @@ def build_model(cfg, vocab_size):
         lsm_weight=cfg.model.lsm_weight,
         cmvn_mean=cmvn_mean,
         cmvn_istd=cmvn_istd,
+        remat=bool(cfg.model.get("remat", False)),
         dtype=jnp.bfloat16 if cfg.optim.bf16 else jnp.float32,
     )
 

@@ -53,6 +53,7 @@ class ASRModel(nn.Module):
     static_chunk_size: int = 0
     cmvn_mean: Optional[jnp.ndarray] = None
     cmvn_istd: Optional[jnp.ndarray] = None
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -68,6 +69,7 @@ class ASRModel(nn.Module):
             static_chunk_size=self.static_chunk_size,
             cmvn_mean=self.cmvn_mean,
             cmvn_istd=self.cmvn_istd,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(

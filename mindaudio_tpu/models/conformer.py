@@ -109,6 +109,7 @@ class ConformerEncoder(nn.Module):
     static_chunk_size: int = 0
     cmvn_mean: Optional[jnp.ndarray] = None
     cmvn_istd: Optional[jnp.ndarray] = None
+    remat: bool = False  # rematerialize each block's activations in backward
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,11 +139,17 @@ class ConformerEncoder(nn.Module):
         )  # (B, T', T') or (B, 1, T')
         mask_pad = masks[:, 0, :]
 
+        # trade FLOPs for HBM: recompute each block in the backward pass
+        # (jax.checkpoint / nn.remat) — lets long buckets fit bigger batches
+        layer_cls = (
+            nn.remat(ConformerEncoderLayer, static_argnums=(5,))
+            if self.remat else ConformerEncoderLayer
+        )
         for i in range(self.num_layers):
-            xs = ConformerEncoderLayer(
+            xs = layer_cls(
                 self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
                 self.kernel_size, self.norm_type, dtype=self.dtype, name=f"layer_{i}",
-            )(xs, chunk_masks, pos_emb, mask_pad=mask_pad, deterministic=deterministic)
+            )(xs, chunk_masks, pos_emb, mask_pad, deterministic)
         return xs, masks
 
 
