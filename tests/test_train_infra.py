@@ -102,3 +102,34 @@ class TestProfiler:
         assert t.avg_ms >= 0
         assert t.eta_s is not None
         assert "step 3" in t.summary()
+
+
+class TestTrainStep:
+    def test_make_train_step_and_nonfinite_skip(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from mindaudio_tpu.train.state import TrainState, make_train_step
+
+        def loss_fn(params, state, batch, rng):
+            loss = ((params["w"] * batch["x"]) ** 2).sum() * batch["scale"]
+            return loss, {}
+
+        params = {"w": jnp.ones((4,))}
+        state = TrainState.create(
+            apply_fn=None, params=params, tx=optax.sgd(0.1),
+        )
+        step = make_train_step(loss_fn, grad_clip_norm=1.0)
+
+        good = {"x": jnp.ones((4,)), "scale": jnp.asarray(1.0)}
+        state2, metrics = step(state, good)
+        assert float(metrics["loss"]) == pytest.approx(4.0)
+        assert not np.allclose(np.asarray(state2.params["w"]), 1.0)
+
+        # a nan batch must leave the params untouched (snapshot first: the
+        # step donates its input state buffers)
+        w_before = np.asarray(state2.params["w"]).copy()
+        bad = {"x": jnp.ones((4,)), "scale": jnp.asarray(np.nan)}
+        state3, metrics = step(state2, bad)
+        np.testing.assert_array_equal(np.asarray(state3.params["w"]), w_before)
