@@ -121,3 +121,36 @@ class TestPallasMel:
         ref = np.asarray(ops.pallas_mel.fused_logmel_reference(x, n_mels=40))
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+class TestDeviceResample:
+    def test_bandlimited_exact(self):
+        """Kaiser polyphase resample reproduces analytic bandlimited signals
+        (replaces reference msaudio.Resample [native-in-dep], SURVEY §2.1)."""
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.ops.resample import resample
+
+        for of, nf, tol in ((16000, 8000, 1e-3), (8000, 16000, 1e-3),
+                            (22050, 16000, 1e-5), (16000, 22050, 1e-5)):
+            t = np.arange(of) / of
+            freqs = [200, 443, 997, 1501]
+            x = sum(np.sin(2 * np.pi * f * t + 0.1 * i)
+                    for i, f in enumerate(freqs)).astype(np.float32)[None]
+            out = np.asarray(resample(jnp.asarray(x), of, nf))
+            t2 = np.arange(out.shape[-1]) / nf
+            ref = sum(np.sin(2 * np.pi * f * t2 + 0.1 * i)
+                      for i, f in enumerate(freqs))[None]
+            n = out.shape[-1] - 200
+            assert np.abs(out[:, 100:n] - ref[:, 100:n]).max() < tol
+
+    def test_identity_and_length(self):
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.ops.resample import resample
+
+        x = jnp.ones((3, 1000), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(resample(x, 16000, 16000)),
+                                      np.asarray(x))
+        y = resample(x, 16000, 24000)
+        assert y.shape == (3, 1500)
