@@ -42,9 +42,12 @@ def main():
         mel = spectrum.melspectrogram(
             wav, n_fft=int(cfg.data.n_fft), hop_length=hop,
             win_length=int(cfg.data.win_length), n_mels=int(cfg.data.n_mels),
-            sample_rate=sr, pad_mode="constant",
+            sample_rate=sr, pad_mode="constant", power=1.0,
         )[:, :n_frames]
-        mel = np.log(np.maximum(mel, 1e-5)).T.astype(np.float32)  # (T, n_mels)
+        # dB-normalize to [0, 1] (reference preprocess.py:27 ``_normalize``) —
+        # unnormalized log-mels blow up the FiLM-conditioned UBlock outputs
+        mel = 20.0 * np.log10(np.clip(mel, 1e-5, None)) - 20.0
+        mel = np.clip((mel + 100.0) / 100.0, 0.0, 1.0).T.astype(np.float32)
         np.save(os.path.join(out_dir, utt + ".npy"),
                 {"audio": wav, "mel": mel})
         entries.append(utt)

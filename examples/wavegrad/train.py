@@ -102,7 +102,12 @@ def main():
         (noise_levels[s0], noise_levels[s0 - 1]),
     )
     params = net.init(rng, jnp.asarray(first["mel"]), noisy, scale, noise)["params"]
-    tx = optax.adam(float(cfg.optim.lr))
+    # short linear warmup tames adam's first steps (the FiLM-modulated UBlock
+    # stack is sharp at init; a full-size step can 30x the loss before
+    # recovering)
+    warmup = int(cfg.optim.get("warmup_steps", 1000))
+    schedule = optax.linear_schedule(0.0, float(cfg.optim.lr), warmup)
+    tx = optax.adam(schedule)
     state = TrainState.create(apply_fn=net.apply, params=params, tx=tx,
                               dropout_rng=jax.random.PRNGKey(3))
     state = jax.device_put(state, repl)
