@@ -237,15 +237,20 @@ def main():
     max_steps = int(cfg.train.max_steps)
     t0 = time.time()
 
-    def run_batch(state, batch):
+    from mindaudio_tpu.train.prefetch import prefetch
+
+    def to_device(item):
+        epoch, frames, batch = item
         dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
-        return step_fn(state, dev)
+        return epoch, frames, dev
 
     step_count = 0
-    state, metrics = run_batch(state, first)
+    _, _, first_dev = to_device((epoch, frames, first))
+    state, metrics = step_fn(state, first_dev)
     step_count += 1
-    for epoch, frames, batch in it:
-        state, metrics = run_batch(state, batch)
+    # collate + H2D for batch N+1 overlap step N on device
+    for epoch, frames, batch in prefetch(it, size=2, transform=to_device):
+        state, metrics = step_fn(state, batch)
         step_count += 1
         if step_count % int(cfg.train.log_every_steps) == 0:
             m = {k: float(v) for k, v in metrics.items()}
