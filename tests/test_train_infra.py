@@ -133,3 +133,23 @@ class TestTrainStep:
         bad = {"x": jnp.ones((4,)), "scale": jnp.asarray(np.nan)}
         state3, metrics = step(state2, bad)
         np.testing.assert_array_equal(np.asarray(state3.params["w"]), w_before)
+
+
+class TestPrefetch:
+    def test_order_and_transform(self):
+        from mindaudio_tpu.train.prefetch import prefetch
+
+        out = list(prefetch(iter(range(20)), size=3, transform=lambda x: x * 2))
+        assert out == [x * 2 for x in range(20)]
+
+    def test_worker_exception_propagates(self):
+        from mindaudio_tpu.train.prefetch import prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(gen(), size=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
