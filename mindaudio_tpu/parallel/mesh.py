@@ -24,6 +24,7 @@ __all__ = [
     "shard_batch",
     "batch_sharding",
     "replicated",
+    "barrier",
     "get_rank_id",
     "get_device_id",
     "get_device_num",
@@ -80,6 +81,15 @@ def shard_batch(mesh, batch):
     """Device-put a host batch pytree with leading-axis data sharding."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def barrier(name: str = "sync"):
+    """Cross-process barrier (replaces the reference's /tmp lock-file
+    spin-waits for rank-0 coordination, reference callback.py:122-156)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 # env-compatible rank helpers (reference utils/parallel_info.py:6-18)
