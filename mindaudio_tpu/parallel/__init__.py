@@ -6,6 +6,7 @@ axes and GSPMD-inserted collectives over ICI/DCN.
 """
 
 from .mesh import (  # noqa: F401
+    barrier,
     batch_sharding,
     get_device_id,
     get_device_num,
