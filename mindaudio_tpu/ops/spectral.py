@@ -35,7 +35,25 @@ from .filterbanks import create_dct, get_window, melscale_fbanks
 # DSP parity ops run the MXU in full-f32 (3-pass bf16) mode: feature extraction
 # feeds CMVN statistics and golden tests, where bf16-default matmul error
 # (~2e-3 relative) is visible. Model matmuls elsewhere use the default.
+# DFT/mel matmul precision. HIGHEST (6 bf16 MXU passes) keeps features
+# golden-comparable to the f32 host layer; feature extraction is a small
+# fraction of a training step (measured: ~equal step time vs relaxed
+# precision on the 46M conformer), so the safe default costs little.
 _PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_precision(level: str):
+    """Set DFT/mel matmul precision: "default" | "high" | "highest".
+
+    Must be called BEFORE the first call of the jitted ops in this module —
+    they capture the value at trace time and later changes do not retrace.
+    """
+    global _PRECISION
+    _PRECISION = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[level]
 
 __all__ = [
     "dft_matrices",
