@@ -14,6 +14,7 @@ from .spectral import (  # noqa: F401
     melspectrogram,
     mfcc,
     overlap_and_add,
+    sliding_window_cmn,
     spectrogram,
     stft,
 )

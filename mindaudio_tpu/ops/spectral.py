@@ -68,6 +68,7 @@ __all__ = [
     "kaldi_fbank",
     "compute_deltas",
     "overlap_and_add",
+    "sliding_window_cmn",
     "global_cmvn",
 ]
 
@@ -539,3 +540,53 @@ def global_cmvn(x, mean, istd):
     Device port of the reference GlobalCMVN layer (models/layers/cmvn.py:6).
     """
     return (x - mean) * istd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cmn_window", "min_cmn_window", "center", "norm_vars"),
+)
+def sliding_window_cmn(x, cmn_window=600, min_cmn_window=100, center=False,
+                       norm_vars=False):
+    """Kaldi sliding-window CMN on device, O(T) via prefix sums.
+
+    Same semantics as the host ``data.processing.sliding_window_cmn``
+    (replacing the reference's msaudio.SlidingWindowCmn native kernel,
+    reference processing.py:380-407) but computed with cumulative sums and
+    gathers instead of a per-frame Python loop.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    t_len = xf.shape[-2]
+
+    # window [ws, we) per frame, replicating the host edge logic
+    t_idx = jnp.arange(t_len)
+    if center:
+        ws = t_idx - cmn_window // 2
+        we = ws + cmn_window
+        ws_c = jnp.maximum(ws, 0)
+        we_c = jnp.where(ws < 0, we - ws, we)
+    else:
+        ws = t_idx - cmn_window
+        we_c = t_idx + 1
+        ws_c = jnp.maximum(ws, 0)
+        we_c = jnp.maximum(we_c, jnp.minimum(min_cmn_window, t_len))
+    over = jnp.maximum(we_c - t_len, 0)
+    we_c = we_c - over
+    ws_c = jnp.maximum(ws_c - over, 0)
+
+    # prefix sums over time: sum over [ws, we) = cs[we] - cs[ws]
+    cs = jnp.cumsum(xf, axis=-2)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1, :]), cs], axis=-2)
+    win_sum = (jnp.take(cs, we_c, axis=-2) - jnp.take(cs, ws_c, axis=-2))
+    count = (we_c - ws_c).astype(jnp.float32)[..., None]
+    mean = win_sum / count
+
+    out = xf - mean
+    if norm_vars:
+        cs2 = jnp.cumsum(xf**2, axis=-2)
+        cs2 = jnp.concatenate([jnp.zeros_like(cs2[..., :1, :]), cs2], axis=-2)
+        win_sq = (jnp.take(cs2, we_c, axis=-2) - jnp.take(cs2, ws_c, axis=-2))
+        var = win_sq / count - mean**2
+        out = out / jnp.sqrt(jnp.maximum(var, 1e-10))
+    return out.astype(orig_dtype)

@@ -154,3 +154,19 @@ class TestDeviceResample:
                                       np.asarray(x))
         y = resample(x, 16000, 24000)
         assert y.shape == (3, 1500)
+
+
+class TestDeviceSlidingCMN:
+    def test_matches_host(self):
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.data.processing import sliding_window_cmn as host_cmn
+        from mindaudio_tpu.ops.spectral import sliding_window_cmn as dev_cmn
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 180, 13)).astype(np.float32)
+        for kwargs in ({}, {"center": True}, {"norm_vars": True},
+                       {"cmn_window": 50, "min_cmn_window": 20}):
+            a = np.asarray(dev_cmn(jnp.asarray(x), **kwargs))
+            b = host_cmn(x, **kwargs)
+            np.testing.assert_allclose(a, b, atol=1e-5)
