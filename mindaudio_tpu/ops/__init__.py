@@ -9,6 +9,7 @@ from .spectral import (  # noqa: F401
     compute_deltas,
     fbank,
     global_cmvn,
+    istft,
     kaldi_fbank,
     melscale,
     melspectrogram,

@@ -590,3 +590,73 @@ def sliding_window_cmn(x, cmn_window=600, min_cmn_window=100, center=False,
         var = win_sq / count - mean**2
         out = out / jnp.sqrt(jnp.maximum(var, 1e-10))
     return out.astype(orig_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "win_length", "hop_length", "window", "center", "length"),
+)
+def istft(
+    stft_ri,
+    n_fft=None,
+    win_length=None,
+    hop_length=None,
+    window="hann",
+    center=True,
+    length=None,
+):
+    """On-device inverse STFT (window-sum-square-normalized overlap-add).
+
+    Takes the ``(..., n_freq, n_frames, 2)`` real/imag stack produced by
+    ``ops.stft`` and reconstructs the waveform — the device counterpart of
+    ``data.spectrum.istft`` (reference spectrum.py:346), completing the
+    on-device analysis/modify/resynthesize loop (masking-based enhancement
+    and separation stay on-chip end to end).
+    """
+    n_freq = stft_ri.shape[-3]
+    if n_fft is None:
+        n_fft = 2 * (n_freq - 1)
+    win_length = win_length or n_fft
+    hop_length = hop_length or win_length // 4
+
+    # inverse rDFT as two matmuls: x = Re @ Cr^T + Im @ Ci^T
+    k = np.arange(n_fft)[:, None]
+    f = np.arange(n_freq)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    # hermitian weighting: interior bins count twice
+    w = np.full(n_freq, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    cr = jnp.asarray(np.cos(ang) * w / n_fft, jnp.float32)    # (n_fft, n_freq)
+    ci = jnp.asarray(-np.sin(ang) * w / n_fft, jnp.float32)
+
+    real = jnp.swapaxes(stft_ri[..., 0], -1, -2)  # (..., n_frames, n_freq)
+    imag = jnp.swapaxes(stft_ri[..., 1], -1, -2)
+    frames = (
+        jnp.matmul(real, cr.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        + jnp.matmul(imag, ci.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+    )  # (..., n_frames, n_fft)
+
+    win = np.zeros(n_fft, np.float32)
+    w0 = get_window(window, win_length, fftbins=True)
+    lpad = (n_fft - win_length) // 2
+    win[lpad: lpad + win_length] = w0
+    frames = frames * jnp.asarray(win)
+
+    y = overlap_and_add(frames, hop_length)
+    # window-sum-square normalization
+    n_frames = frames.shape[-2]
+    wss = overlap_and_add(
+        jnp.broadcast_to(jnp.asarray(win**2), (n_frames, n_fft)), hop_length
+    )
+    y = y / jnp.maximum(wss, 1e-10)
+
+    if center:
+        y = y[..., n_fft // 2:]
+    if length is not None:
+        y = y[..., :length]
+        pad = length - y.shape[-1]
+        if pad > 0:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+    return y

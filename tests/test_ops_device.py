@@ -170,3 +170,16 @@ class TestDeviceSlidingCMN:
             a = np.asarray(dev_cmn(jnp.asarray(x), **kwargs))
             b = host_cmn(x, **kwargs)
             np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestDeviceISTFT:
+    def test_roundtrip(self, batch):
+        y = np.asarray(ops.istft(ops.stft(batch, n_fft=512), n_fft=512,
+                                 length=batch.shape[-1]))
+        np.testing.assert_allclose(y, batch, atol=2e-6)
+
+    def test_roundtrip_hop_and_window(self, batch):
+        S = ops.stft(batch, n_fft=400, hop_length=100, window="hann")
+        y = np.asarray(ops.istft(S, n_fft=400, hop_length=100, window="hann",
+                                 length=batch.shape[-1]))
+        np.testing.assert_allclose(y, batch, atol=2e-6)
