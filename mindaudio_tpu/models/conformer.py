@@ -27,6 +27,7 @@ from .layers import (
     RelPositionMultiHeadedAttention,
     Swish,
     apply_mask,
+    sinusoid_table,
 )
 
 __all__ = ["ConformerEncoder", "ConformerEncoderLayer", "TransformerDecoder"]
@@ -47,8 +48,10 @@ class ConformerEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, pos_emb, mask_pad=None, deterministic=True):
+    def __call__(self, x, mask, pos_emb, mask_pad=None, deterministic=True,
+                 att_cache=None, cnn_cache=None):
         # Macaron feed-forward (half-step residual)
+        streaming = att_cache is not None
         if self.use_macaron:
             res = x
             y = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
@@ -58,21 +61,26 @@ class ConformerEncoderLayer(nn.Module):
             )(y, deterministic=deterministic)
             x = res + 0.5 * nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
 
-        # Self-attention with relative position
+        # Self-attention with relative position (+ optional streaming KV cache)
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         y = RelPositionMultiHeadedAttention(
             self.head_num, self.dropout_rate, dtype=self.dtype, name="self_attn"
-        )(y, y, y, mask=mask, pos_emb=pos_emb, deterministic=deterministic)
+        )(y, y, y, mask=mask, pos_emb=pos_emb, deterministic=deterministic,
+          kv_cache=att_cache)
+        if streaming:
+            y, new_att_cache = y
         x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
 
-        # Convolution module
+        # Convolution module (+ optional streaming left-context cache)
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
         y = ConvolutionModule(
             kernel_size=self.kernel_size, norm_type=self.norm_type,
             causal=self.causal_conv, dtype=self.dtype, name="conv_module",
-        )(y, mask_pad=mask_pad, deterministic=deterministic)
+        )(y, mask_pad=mask_pad, deterministic=deterministic, cache=cnn_cache)
+        if cnn_cache is not None:
+            y, new_cnn_cache = y
         x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
 
         # Final feed-forward
@@ -85,7 +93,10 @@ class ConformerEncoderLayer(nn.Module):
         scale = 0.5 if self.use_macaron else 1.0
         x = res + scale * nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
 
-        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        out = nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        if streaming:
+            return out, new_att_cache, (new_cnn_cache if cnn_cache is not None else None)
+        return out
 
 
 class ConformerEncoder(nn.Module):
@@ -107,12 +118,33 @@ class ConformerEncoder(nn.Module):
     use_dynamic_chunk: bool = False
     use_dynamic_left_chunk: bool = False
     static_chunk_size: int = 0
+    causal_conv: bool = False  # required True for streaming forward_chunk
     cmvn_mean: Optional[jnp.ndarray] = None
     cmvn_istd: Optional[jnp.ndarray] = None
     remat: bool = False  # rematerialize each block's activations in backward
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        if self.cmvn_mean is not None:
+            self.global_cmvn = GlobalCMVN(self.cmvn_mean, self.cmvn_istd,
+                                          name="global_cmvn")
+        self.embed = Conv2dSubsampling4(
+            self.d_model, self.dropout_rate, pos_enc="rel_pos",
+            dtype=self.dtype, name="embed",
+        )
+        layer_cls = (
+            nn.remat(ConformerEncoderLayer, static_argnums=(5,))
+            if self.remat else ConformerEncoderLayer
+        )
+        self.layers = [
+            layer_cls(
+                self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
+                self.kernel_size, self.norm_type, self.causal_conv,
+                dtype=self.dtype, name=f"layer_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
     def __call__(
         self,
         xs,
@@ -123,11 +155,9 @@ class ConformerEncoder(nn.Module):
         chunk_rng=None,
     ):
         if self.cmvn_mean is not None:
-            xs = GlobalCMVN(self.cmvn_mean, self.cmvn_istd, name="global_cmvn")(xs)
+            xs = self.global_cmvn(xs)
 
-        xs, pos_emb = Conv2dSubsampling4(
-            self.d_model, self.dropout_rate, pos_enc="rel_pos", dtype=self.dtype, name="embed"
-        )(xs.astype(self.dtype), deterministic=deterministic)
+        xs, pos_emb = self.embed(xs.astype(self.dtype), deterministic=deterministic)
 
         t_sub = xs.shape[1]
         sub_lens = ((xs_lens - 1) // 2 - 1) // 2
@@ -139,18 +169,62 @@ class ConformerEncoder(nn.Module):
         )  # (B, T', T') or (B, 1, T')
         mask_pad = masks[:, 0, :]
 
-        # trade FLOPs for HBM: recompute each block in the backward pass
-        # (jax.checkpoint / nn.remat) — lets long buckets fit bigger batches
-        layer_cls = (
-            nn.remat(ConformerEncoderLayer, static_argnums=(5,))
-            if self.remat else ConformerEncoderLayer
-        )
-        for i in range(self.num_layers):
-            xs = layer_cls(
-                self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
-                self.kernel_size, self.norm_type, dtype=self.dtype, name=f"layer_{i}",
-            )(xs, chunk_masks, pos_emb, mask_pad, deterministic)
+        for layer in self.layers:
+            xs = layer(xs, chunk_masks, pos_emb, mask_pad, deterministic)
         return xs, masks
+
+    def forward_chunk(self, xs, att_caches=None, cnn_caches=None):
+        """Streaming: encode ONE raw-feature chunk with per-layer caches.
+
+        New capability beyond the reference (its layers carry cache args but
+        no recipe drives them; SURVEY §2.2 "chunk-mask ready").
+
+        Args:
+            xs: ``(B, raw_T, F)`` feature chunk. For subsampled chunk size C
+                feed ``raw_T = 4*C + 3`` frames stepping 4*C (the stride-4
+                conv front-end's receptive field needs 3 look-back frames).
+            att_caches: per-layer ``(k, v)`` tuples from the previous call
+                (keys/values over all previous chunks), or None at stream
+                start.
+            cnn_caches: per-layer ``(B, kernel-1, d_model)`` conv left
+                context, or None at stream start. Requires
+                ``causal_conv=True``.
+
+        Returns:
+            ``(ys (B, C, d_model), att_caches, cnn_caches)``.
+        """
+        assert self.causal_conv, "streaming needs causal_conv=True"
+        if self.cmvn_mean is not None:
+            xs = self.global_cmvn(xs)
+        xs, _ = self.embed(xs.astype(self.dtype), deterministic=True)
+
+        b = xs.shape[0]
+        d_k = self.d_model // self.head_num
+        if att_caches is None:
+            att_caches = [
+                (jnp.zeros((b, self.head_num, 0, d_k), self.dtype),) * 2
+                for _ in range(self.num_layers)
+            ]
+        if cnn_caches is None:
+            cnn_caches = [
+                jnp.zeros((b, self.kernel_size - 1, self.d_model), self.dtype)
+                for _ in range(self.num_layers)
+            ]
+
+        t_total = att_caches[0][0].shape[2] + xs.shape[1]
+        pos_emb = jnp.asarray(
+            sinusoid_table(max(t_total, 1), self.d_model)
+        )[None].astype(self.dtype)
+
+        new_att, new_cnn = [], []
+        for layer, a_c, c_c in zip(self.layers, att_caches, cnn_caches):
+            xs, a_new, c_new = layer(
+                xs, None, pos_emb, None, True,
+                att_cache=a_c, cnn_cache=c_c,
+            )
+            new_att.append(a_new)
+            new_cnn.append(c_new)
+        return xs, new_att, new_cnn
 
 
 class DecoderLayer(nn.Module):

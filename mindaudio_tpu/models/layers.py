@@ -139,7 +139,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, mask=None, pos_emb=None, deterministic=True):
+    def __call__(self, query, key, value, mask=None, pos_emb=None,
+                 deterministic=True, kv_cache=None):
         d_model = query.shape[-1]
         d_k = d_model // self.head_num
 
@@ -150,7 +151,12 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q = proj(query, "linear_q")
         k = proj(key, "linear_k")
         v = proj(value, "linear_v")
-        p = proj(pos_emb.astype(self.dtype), "linear_pos")  # (1, h, T, d_k)
+        # streaming: prepend cached keys/values (left context from previous
+        # chunks); pos_emb must then span the concatenated key length
+        if kv_cache is not None:
+            k = jnp.concatenate([kv_cache[0].astype(k.dtype), k], axis=2)
+            v = jnp.concatenate([kv_cache[1].astype(v.dtype), v], axis=2)
+        p = proj(pos_emb.astype(self.dtype), "linear_pos")  # (1, h, T_k, d_k)
 
         u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (self.head_num, d_k))
         vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (self.head_num, d_k))
@@ -173,7 +179,10 @@ class RelPositionMultiHeadedAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         b, h, t, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d_k)
-        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+        out = nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+        if kv_cache is not None:
+            return out, (k, v)
+        return out
 
 
 def sinusoid_table(max_len, d_model, dtype=np.float32):
@@ -245,8 +254,10 @@ class ConvolutionModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask_pad=None, deterministic=True):
+    def __call__(self, x, mask_pad=None, deterministic=True, cache=None):
         # x: (B, T, C); mask_pad: (B, T) True = valid
+        # cache (streaming, causal only): (B, kernel-1, C) left context of the
+        # depthwise-conv input from the previous chunk
         channels = x.shape[-1]
         if mask_pad is not None:
             x = jnp.where(mask_pad[..., None], x, 0.0)
@@ -254,7 +265,13 @@ class ConvolutionModule(nn.Module):
         x = nn.Dense(2 * channels, dtype=self.dtype, name="pointwise_conv1")(x)
         x = GLU(axis=-1)(x)
 
-        if self.causal:
+        new_cache = None
+        if cache is not None:
+            assert self.causal, "conv cache requires a causal conv module"
+            x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            new_cache = x[:, -(self.kernel_size - 1):]
+            pad = (0, 0)
+        elif self.causal:
             pad = (self.kernel_size - 1, 0)
         else:
             pad = ((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)
@@ -275,6 +292,8 @@ class ConvolutionModule(nn.Module):
         x = nn.Dense(channels, dtype=self.dtype, name="pointwise_conv2")(x)
         if mask_pad is not None:
             x = jnp.where(mask_pad[..., None], x, 0.0)
+        if new_cache is not None:
+            return x, new_cache
         return x
 
 

@@ -83,3 +83,44 @@ class TestChunkedEncoder:
         f1, _ = full.apply({"params": fparams}, jnp.asarray(x), lens)
         f2, _ = full.apply({"params": fparams}, jnp.asarray(x2), lens)
         assert np.abs(np.asarray(f1)[:, :2] - np.asarray(f2)[:, :2]).max() > 1e-3
+
+
+class TestForwardChunk:
+    def test_streaming_matches_full_forward(self):
+        """Chunk-by-chunk encoding with KV + conv caches must reproduce the
+        full forward run with the same static chunk masks and causal conv."""
+        from mindaudio_tpu.models.conformer import ConformerEncoder
+
+        C = 4           # subsampled chunk size
+        n_chunks = 5
+        t_sub = C * n_chunks
+        raw_t = 4 * t_sub + 3   # full-utterance raw frames
+
+        enc = ConformerEncoder(
+            input_dim=16, d_model=32, head_num=2, ffn_dim=64, num_layers=2,
+            static_chunk_size=C, causal_conv=True, kernel_size=7,
+            norm_type="layer_norm",
+        )
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, raw_t, 16)).astype(np.float32)
+        lens = jnp.asarray([raw_t, raw_t])
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), lens)["params"]
+
+        full, _ = enc.apply({"params": params}, jnp.asarray(x), lens)
+        full = np.asarray(full)
+        assert full.shape[1] == t_sub
+
+        att_caches = cnn_caches = None
+        outs = []
+        for c in range(n_chunks):
+            lo = 4 * (c * C)
+            hi = lo + 4 * C + 3
+            chunk = jnp.asarray(x[:, lo:hi])
+            ys, att_caches, cnn_caches = enc.apply(
+                {"params": params}, chunk, att_caches, cnn_caches,
+                method=enc.forward_chunk,
+            )
+            outs.append(np.asarray(ys))
+        streamed = np.concatenate(outs, axis=1)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(streamed, full, atol=2e-5)
