@@ -51,6 +51,7 @@ class ASRModel(nn.Module):
     lsm_weight: float = 0.1
     use_dynamic_chunk: bool = False
     static_chunk_size: int = 0
+    causal_conv: bool = False
     cmvn_mean: Optional[jnp.ndarray] = None
     cmvn_istd: Optional[jnp.ndarray] = None
     remat: bool = False
@@ -67,6 +68,7 @@ class ASRModel(nn.Module):
             kernel_size=self.kernel_size,
             use_dynamic_chunk=self.use_dynamic_chunk,
             static_chunk_size=self.static_chunk_size,
+            causal_conv=self.causal_conv,
             cmvn_mean=self.cmvn_mean,
             cmvn_istd=self.cmvn_istd,
             remat=self.remat,
@@ -137,6 +139,17 @@ class ASRModel(nn.Module):
             num_decoding_left_chunks=num_decoding_left_chunks,
             deterministic=True,
         )
+
+    def encode_chunk(self, xs, att_caches=None, cnn_caches=None):
+        """Streaming: one encoder chunk + its CTC log-probs
+        (drives ``ConformerEncoder.forward_chunk``; needs causal_conv=True)."""
+        ys, att_caches, cnn_caches = self.encoder.forward_chunk(
+            xs, att_caches, cnn_caches
+        )
+        log_probs = jax.nn.log_softmax(
+            self.ctc_proj(ys).astype(jnp.float32), axis=-1
+        )
+        return log_probs, att_caches, cnn_caches
 
     def ctc_log_probs(self, enc_out):
         """(B, T', vocab) log-softmax CTC posterior (reference

@@ -222,6 +222,33 @@ class ASRInference:
             out.append(int(tok))
         return out, float(score)
 
+    def streaming_ctc_greedy(self, feat_chunks):
+        """Streaming CTC greedy over an iterable of raw-feature chunks.
+
+        Each chunk is ``(1, 4*C + 3, F)`` raw frames (see
+        ``ConformerEncoder.forward_chunk``); emission is incremental —
+        tokens for chunk i are final when chunk i is processed. The model
+        must be built with ``causal_conv=True`` and trained with chunked
+        masks. New capability beyond the reference (no streaming driver
+        exists there).
+
+        Returns the collapsed token list.
+        """
+        att_caches = cnn_caches = None
+        hyp: List[int] = []
+        prev = self.blank_id
+        for chunk in feat_chunks:
+            log_probs, att_caches, cnn_caches = self.model.apply(
+                self.variables, jnp.asarray(chunk), att_caches, cnn_caches,
+                method=self.model.encode_chunk,
+            )
+            best = np.asarray(log_probs.argmax(-1))[0]
+            for tok in best.tolist():
+                if tok != prev and tok != self.blank_id:
+                    hyp.append(int(tok))
+                prev = tok
+        return hyp
+
     def attention_rescoring(self, feats, feat_lens):
         """CTC prefix beam candidates re-scored by one decoder pass
         (reference recognize.py:339-406)."""

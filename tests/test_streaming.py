@@ -124,3 +124,41 @@ class TestForwardChunk:
         streamed = np.concatenate(outs, axis=1)
         assert streamed.shape == full.shape
         np.testing.assert_allclose(streamed, full, atol=2e-5)
+
+
+class TestStreamingGreedy:
+    def test_matches_batch_greedy(self):
+        """Streaming CTC greedy over chunks equals whole-utterance greedy for
+        a chunk-trained (static mask + causal conv) model."""
+        from mindaudio_tpu.models.asr_model import ASRModel
+        from mindaudio_tpu.utils.common import add_sos_eos
+        from mindaudio_tpu.utils.recognize import ASRInference
+
+        C, n_chunks, vocab = 4, 4, 12
+        t_sub = C * n_chunks
+        raw_t = 4 * t_sub + 3
+        model = ASRModel(
+            vocab_size=vocab, input_dim=12, d_model=32, head_num=2, ffn_dim=64,
+            num_encoder_layers=1, num_decoder_layers=1,
+            static_chunk_size=C, causal_conv=True,
+        )
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((1, raw_t, 12)).astype(np.float32)
+        lens = np.asarray([raw_t], np.int32)
+        labels = np.array([[1, 2]], np.int32)
+        ys_in, ys_out = add_sos_eos(labels, vocab - 1, vocab - 1)
+        batch = {
+            "feats": jnp.asarray(feats), "feat_lens": jnp.asarray(lens),
+            "labels": jnp.asarray(labels),
+            "label_lens": jnp.asarray([2], jnp.int32),
+            "ys_in": jnp.asarray(ys_in.astype(np.int32)),
+            "ys_out": jnp.asarray(ys_out.astype(np.int32)),
+            "ys_lens": jnp.asarray([3], jnp.int32),
+        }
+        variables = {"params": model.init(jax.random.PRNGKey(0), batch)["params"]}
+        inf = ASRInference(model, variables, beam_size=2, max_tgt_len=6)
+
+        full_hyp = inf.ctc_greedy_search(feats, lens)[0][0]
+        chunks = [feats[:, 4 * c * C: 4 * c * C + 4 * C + 3] for c in range(n_chunks)]
+        stream_hyp = inf.streaming_ctc_greedy(chunks)
+        assert stream_hyp == full_hyp
