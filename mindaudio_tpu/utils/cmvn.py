@@ -42,7 +42,11 @@ class CMVNAccumulator:
     def finalize(self):
         mean = self.mean_stat / self.frame_num
         var = self.var_stat / self.frame_num - mean**2
-        istd = 1.0 / np.sqrt(np.maximum(var, 1e-20))
+        # variance floor: degenerate (near-constant) dims would otherwise get
+        # istd ~ 1e10 and saturate the network into exact zeros (GLU gates
+        # collapse, all gradients die). Real log-mel variances are O(1-30),
+        # so a 1e-3 floor (istd <= ~32) never binds on speech.
+        istd = 1.0 / np.sqrt(np.maximum(var, 1e-3))
         return mean.astype(np.float32), istd.astype(np.float32)
 
 
@@ -61,5 +65,5 @@ def load_cmvn(path: str):
         stats = json.load(f)
     mean = np.asarray(stats["mean_stat"], np.float64) / stats["frame_num"]
     var = np.asarray(stats["var_stat"], np.float64) / stats["frame_num"] - mean**2
-    istd = 1.0 / np.sqrt(np.maximum(var, 1e-20))
+    istd = 1.0 / np.sqrt(np.maximum(var, 1e-3))  # same floor as finalize
     return mean.astype(np.float32), istd.astype(np.float32)
