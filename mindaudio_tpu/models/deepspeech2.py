@@ -30,11 +30,13 @@ class BatchRNN(nn.Module):
 
     hidden: int
     use_batch_norm: bool = True
+    # BN momentum 0.9 matches the MindSpore default the reference trains with
+    # (flax's 0.99 needs ~10x more steps before eval-mode running stats work)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         if self.use_batch_norm:
-            x = nn.BatchNorm(use_running_average=deterministic, name="bn")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn")(x)
         fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="fwd")(x)
         bwd = nn.RNN(
             nn.OptimizedLSTMCell(self.hidden), reverse=True, keep_order=True, name="bwd"
@@ -52,14 +54,14 @@ class MaskConv(nn.Module):
     def __call__(self, x, lengths, deterministic=True):
         # conv1: kernel (time 11, freq 41), stride (2, 2)
         x = nn.Conv(32, (11, 41), strides=(2, 2), padding=((5, 5), (20, 20)), name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn1")(x)
         x = jnp.clip(x, 0.0, 20.0)
         lengths = (lengths + 2 * 5 - 11) // 2 + 1
         x = jnp.where(make_non_pad_mask(lengths, x.shape[1])[:, :, None, None], x, 0.0)
 
         # conv2: kernel (time 11, freq 21), stride (1, 2)
         x = nn.Conv(32, (11, 21), strides=(1, 2), padding=((5, 5), (10, 10)), name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, name="bn2")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn2")(x)
         x = jnp.clip(x, 0.0, 20.0)
         x = jnp.where(make_non_pad_mask(lengths, x.shape[1])[:, :, None, None], x, 0.0)
         return x, lengths
@@ -89,6 +91,6 @@ class DeepSpeechModel(nn.Module):
                 x, deterministic=deterministic
             )
 
-        x = nn.BatchNorm(use_running_average=deterministic, name="head_bn")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="head_bn")(x)
         logits = nn.Dense(self.vocab_size, use_bias=False, name="fc")(x)
         return logits, out_lens

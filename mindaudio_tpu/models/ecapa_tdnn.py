@@ -41,7 +41,7 @@ class TDNNBlock(nn.Module):
             name="conv",
         )(x)
         x = jax.nn.relu(x)
-        return nn.BatchNorm(use_running_average=deterministic, name="bn")(x)
+        return nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn")(x)
 
 
 class Res2NetBlock(nn.Module):
@@ -202,7 +202,7 @@ class EcapaTDNN(nn.Module):
         x = AttentiveStatisticsPooling(
             self.attention_channels, self.global_context, name="asp"
         )(x, lengths=lengths, deterministic=deterministic)
-        x = nn.BatchNorm(use_running_average=deterministic, name="asp_bn")(x)
+        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="asp_bn")(x)
         return nn.Conv(self.lin_neurons, (1,), name="fc")(x)  # (B, 1, emb)
 
 
@@ -221,7 +221,7 @@ class Classifier(nn.Module):
         x = x.reshape(x.shape[0], -1)
         for i in range(self.lin_blocks):
             x = nn.Dense(self.lin_neurons, name=f"linear_{i}")(x)
-            x = nn.BatchNorm(use_running_average=deterministic, name=f"bn_{i}")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name=f"bn_{i}")(x)
         w = self.param(
             "weight", nn.initializers.xavier_uniform(), (self.lin_neurons, self.out_neurons)
         )

@@ -285,7 +285,8 @@ class ConvolutionModule(nn.Module):
         )(x)
 
         if self.norm_type == "batch_norm":
-            x = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype, name="norm")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             dtype=self.dtype, name="norm")(x)
         else:
             x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         x = x * jax.nn.sigmoid(x)
