@@ -80,7 +80,9 @@ def main():
     from mindaudio_tpu.data import io
 
     refs, hyps = [], []
-    result_path = os.path.join(os.path.dirname(__file__), "result.txt")
+    result_path = str(cfg.decode.get("result_file", "")) or os.path.join(
+        os.path.dirname(__file__), "result.txt"
+    )
     with open(result_path, "w", encoding="utf-8") as out:
         for u in read_manifest(cfg.data.test_csv):
             x, sr = io.read(u.wav)

@@ -70,6 +70,8 @@ def build_model(cfg, vocab_size):
         kernel_size=cfg.model.kernel_size,
         ctc_weight=cfg.model.ctc_weight,
         lsm_weight=cfg.model.lsm_weight,
+        use_dynamic_chunk=bool(cfg.model.get("use_dynamic_chunk", False)),
+        causal_conv=bool(cfg.model.get("causal_conv", False)),
         cmvn_mean=cmvn_mean,
         cmvn_istd=cmvn_istd,
         remat=bool(cfg.model.get("remat", False)),
@@ -180,7 +182,7 @@ def main():
     )
     init_batch = {k: jnp.asarray(v) for k, v in first.items()}
     init_batch.update(feats=feats, feat_lens=feat_lens)
-    params = model.init(rng, init_batch)["params"]
+    params = model.init(rng, init_batch, chunk_rng=rng)["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     logger.info("params: %.1fM", n_params / 1e6)
 

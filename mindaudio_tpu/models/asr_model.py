@@ -94,8 +94,11 @@ class ASRModel(nn.Module):
         target with eos / IGNORE_ID pads, ``ys_lens (B,)`` = label len + 1,
         ``labels (B,L)`` CTC targets (no sos/eos), ``label_lens (B,)``.
         """
+        # without a chunk rng (eval/init) dynamic-chunk models fall back to
+        # full context instead of asserting (WeNet decoding_chunk_size=-1)
         enc_out, enc_mask = self.encoder(
             batch["feats"], batch["feat_lens"],
+            decoding_chunk_size=0 if chunk_rng is not None else -1,
             deterministic=deterministic, chunk_rng=chunk_rng,
         )
         enc_lens = enc_mask[:, 0, :].sum(-1).astype(jnp.int32)
@@ -131,7 +134,7 @@ class ASRModel(nn.Module):
 
     # ---- inference pieces (used by utils/recognize decode drivers) ----
 
-    def encode(self, feats, feat_lens, decoding_chunk_size=0,
+    def encode(self, feats, feat_lens, decoding_chunk_size=-1,
                num_decoding_left_chunks=-1):
         return self.encoder(
             feats, feat_lens,

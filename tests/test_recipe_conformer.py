@@ -84,7 +84,8 @@ class TestConformerRecipe:
 
             assert list_steps(str(ckpt_dir))
 
-            sys.argv = ["predict.py"] + args
+            sys.argv = ["predict.py"] + args + [
+                "--decode.result_file", str(tmp_path / "result.txt")]
             import predict
 
             predict.main()
@@ -94,3 +95,7 @@ class TestConformerRecipe:
             os.chdir(old_cwd)
             sys.argv = old_argv
             sys.path.remove(RECIPE)
+            # recipe modules use generic names; a later recipe test importing
+            # its own train.py must not get these cached ones
+            for mod in ("train", "predict", "compute_cmvn_stats", "dataset"):
+                sys.modules.pop(mod, None)
