@@ -90,7 +90,19 @@ def main():
             feats = np.asarray(fbank(jnp.asarray(wavs)))
             feat_lens = 1 + (wav_lens - FRAME_LEN) // FRAME_SHIFT
 
-            if mode == "ctc_greedy":
+            if mode == "streaming":
+                # chunked incremental decode (model must be trained with
+                # use_dynamic_chunk/causal_conv); chunk = decode.chunk_size
+                # subsampled frames
+                C = int(cfg.decode.get("chunk_size", 16))
+                raw = feats.shape[1]
+                chunks = [
+                    feats[:, lo: lo + 4 * C + 3]
+                    for lo in range(0, max(raw - 3, 1), 4 * C)
+                    if lo + 7 <= raw
+                ]
+                hyp_ids = inference.streaming_ctc_greedy(chunks)
+            elif mode == "ctc_greedy":
                 hyp_ids = inference.ctc_greedy_search(feats, feat_lens)[0][0]
             elif mode == "ctc_prefix_beam":
                 hyp_ids = list(
