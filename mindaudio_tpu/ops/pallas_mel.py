@@ -86,34 +86,55 @@ def _design(n_fft, win_length, hop, window, n_mels, sample_rate, f_min, f_max, l
     )
 
 
-def _kernel(sig_hbm, wr_ref, wi_ref, fb_ref, out_ref, sig_vmem, patch, sem,
-            *, block_frames, hop_pad, k, log_floor, precision):
-    """One (batch, frame-block) program.
+def _kernel(sig_hbm, wr_ref, wi_ref, fb_ref, out_ref, sig_vmem, patch, sems,
+            *, block_frames, hop_pad, k, log_floor, precision, n_blocks):
+    """One (batch, frame-block) program over a flattened 1-D grid.
 
     The caller pre-shapes the signal as ``(B, n_sub, hop_pad)`` so every
     in-kernel view is a tile-aligned 2-D block (Mosaic has no 1-D→2-D shape
     cast): frame i = subframe rows ``[i, i + k)``, built as K shifted copies.
+
+    Double-buffered: scratch persists across grid steps on a core, so each
+    program prefetches the NEXT program's signal slice while computing its
+    own (pallas_guide.md "Double Buffering") — the DMA wait is off the
+    critical path for every block but the first.
     """
-    b = pl.program_id(0)
-    blk = pl.program_id(1)
+    i = pl.program_id(0)
+    n_total = pl.num_programs(0)
+    rows = sig_vmem.shape[1]  # 8-aligned subframe rows per block
 
-    rows = sig_vmem.shape[0]  # 8-aligned subframe rows this block reads
-    start = blk * block_frames
+    def dma_for(idx, slot):
+        b = idx // n_blocks
+        blk = idx % n_blocks
+        return pltpu.make_async_copy(
+            sig_hbm.at[b, pl.ds(blk * block_frames, rows), :],
+            sig_vmem.at[slot], sems.at[slot],
+        )
 
-    dma = pltpu.make_async_copy(
-        sig_hbm.at[b, pl.ds(start, rows), :], sig_vmem, sem
-    )
-    dma.start()
-    dma.wait()
+    slot = jax.lax.rem(i, 2)
+    next_slot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(i + 1 < n_total)
+    def _():
+        dma_for(i + 1, next_slot).start()
+
+    dma_for(i, slot).wait()
 
     # K shifted 2-D copies build the (BF, K*hop_pad) patch without gathers.
+    # (Decomposing the matmul over the K shifted views instead measured
+    # slower: the sublane-misaligned matmul operands cost more than these
+    # copies save.)
     for j in range(k):
-        patch[:, j * hop_pad : (j + 1) * hop_pad] = sig_vmem[pl.ds(j, block_frames), :]
+        patch[:, j * hop_pad:(j + 1) * hop_pad] = sig_vmem[slot, pl.ds(j, block_frames), :]
 
-    # MXU passes always accumulate in f32; ``precision`` picks the number of
-    # bf16 passes per input. DEFAULT (one pass) is ~16x faster on v5e than
-    # HIGHEST (6 passes) and costs ~3e-3 absolute error in the log-mel, fine
-    # for training features; golden tests request precision="highest".
+    # MXU passes accumulate in f32; DEFAULT (one bf16 pass) is ~16x faster
+    # than HIGHEST (6 passes) on v5e and costs ~3e-3 mean abs error in the
+    # log-mel (larger only at near-floor silence bins); golden tests request
+    # precision="highest".
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     real = jnp.dot(patch[:, :], wr_ref[:, :], preferred_element_type=jnp.float32,
@@ -146,7 +167,7 @@ def fused_logmel(
     f_max=None,
     center=True,
     log_floor=1e-10,
-    block_frames=256,
+    block_frames=1024,
     kaldi=False,
     precision="default",
 ):
@@ -201,22 +222,25 @@ def fused_logmel(
             k=k,
             log_floor=log_floor,
             precision=precision,
+            n_blocks=n_blocks,
         ),
-        grid=(b, n_blocks),
+        grid=(b * n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM
-            pl.BlockSpec((width_pad, n_freq_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((width_pad, n_freq_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_freq_pad, n_mels_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width_pad, n_freq_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((width_pad, n_freq_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_freq_pad, n_mels_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_frames, n_mels_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (1, block_frames, n_mels_pad),
+            lambda i: (i // n_blocks, i % n_blocks, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, frames_pad, n_mels_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rows, hop_pad), jnp.float32),
+            pltpu.VMEM((2, rows, hop_pad), jnp.float32),   # double buffer
             pltpu.VMEM((block_frames, width_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * frames_pad * width_pad * (2 * n_freq_pad + n_mels_pad),
