@@ -101,7 +101,8 @@ def batch_iterator(
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(rows)) if shuffle else np.arange(len(rows))
         sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
-        for batch_idx in sel[rank::world_size]:
+        n_even = len(sel) // world_size * world_size  # equal per-rank counts
+        for batch_idx in sel[rank:n_even:world_size]:
             wavs = np.stack([load_segment(rows[i], seg_len) for i in batch_idx])
             labels = np.asarray([spk2label[rows[i]["spk_id"]] for i in batch_idx],
                                 np.int32)

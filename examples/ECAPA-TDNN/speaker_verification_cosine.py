@@ -68,7 +68,6 @@ def embed_utterances(model, variables, csv_path, cfg, seg_len):
 
 def main():
     cfg = get_config(os.path.join(os.path.dirname(__file__), "ecapatdnn.yaml"))
-    rows, spk2label = read_segments(cfg.data.enrol_csv)
     # a training checkpoint knows the class count; rebuild the same net
     from dataset import n_speakers
 

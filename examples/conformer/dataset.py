@@ -122,7 +122,10 @@ class BucketSampler:
             # tail dropped: static shapes need full batches
         if self.shuffle:
             rng.shuffle(batches)
-        for b in batches[self.rank::self.world_size]:
+        # equal batch counts per rank: a ragged split would hang the psum at
+        # the epoch tail on multi-host runs
+        n_even = len(batches) // self.world_size * self.world_size
+        for b in batches[self.rank:n_even:self.world_size]:
             yield b
 
     def __len__(self):

@@ -31,7 +31,7 @@ from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.utils.recognize import ASRInference
 from mindaudio_tpu.utils.tokenizer import CharTokenizer
 
-from dataset import FRAME_LEN, FRAME_SHIFT, read_manifest
+from dataset import FRAME_LEN, FRAME_SHIFT, SAMPLE_RATE, read_manifest
 from train import build_model
 
 BUCKET_FRAMES = (200, 400, 600, 800, 1000, 1200, 1500, 2000, 3000)
@@ -86,7 +86,14 @@ def main():
     with open(result_path, "w", encoding="utf-8") as out:
         for u in read_manifest(cfg.data.test_csv):
             x, sr = io.read(u.wav)
-            wavs, wav_lens = pad_to_bucket(np.asarray(x, np.float32))
+            x = np.asarray(x, np.float32)
+            if x.ndim > 1:
+                x = x[:, 0]
+            if sr != SAMPLE_RATE:  # match the training collate's resample
+                from mindaudio_tpu.data.processing import resample
+
+                x = resample(x, sr, SAMPLE_RATE)
+            wavs, wav_lens = pad_to_bucket(x)
             feats = np.asarray(fbank(jnp.asarray(wavs)))
             feat_lens = 1 + (wav_lens - FRAME_LEN) // FRAME_SHIFT
 
@@ -95,7 +102,7 @@ def main():
                 # use_dynamic_chunk/causal_conv); chunk = decode.chunk_size
                 # subsampled frames
                 C = int(cfg.decode.get("chunk_size", 16))
-                raw = feats.shape[1]
+                raw = int(feat_lens[0])  # decode valid frames, not bucket pad
                 chunks = [
                     feats[:, lo: lo + 4 * C + 3]
                     for lo in range(0, max(raw - 3, 1), 4 * C)

@@ -262,13 +262,17 @@ def main():
                 epoch, step_count, frames, m["loss"], m["loss_att"],
                 m["loss_ctc"], m["acc_att"], (time.time() - t0) / step_count,
             )
-        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+        if step_count % int(cfg.train.save_every_steps) == 0:
+            # eval runs on ALL processes (the jitted program is a global
+            # collective — gating it on rank 0 would deadlock a pod); only
+            # logging and the checkpoint write are rank-0
             dev_loss = eval_loss(state)
-            logger.info("eval @ step %d: dev loss %.4f", step_count, dev_loss)
-            ckpt.save(jax.device_get({
-                "params": state.params, "opt_state": state.opt_state,
-                "step": state.step,
-            }), step_count, eval_metric=dev_loss)
+            if jax.process_index() == 0:
+                logger.info("eval @ step %d: dev loss %.4f", step_count, dev_loss)
+                ckpt.save(jax.device_get({
+                    "params": state.params, "opt_state": state.opt_state,
+                    "step": state.step,
+                }), step_count, eval_metric=dev_loss)
         if max_steps and step_count >= max_steps:
             break
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 
@@ -56,10 +56,6 @@ def encode_transcript(txt_path: str) -> np.ndarray:
     return np.asarray(ids, np.int32)
 
 
-def decode_ids(ids: Sequence[int]) -> str:
-    return "".join(LABELS[i] for i in ids if 0 <= i < BLANK_ID or i == BLANK_ID - 1)
-
-
 def _bucket_for(n_frames: int) -> int:
     for limit in FRAME_BUCKETS:
         if n_frames <= limit:
@@ -75,11 +71,14 @@ def batch_iterator(
     rank: int = 0,
     world_size: int = 1,
     shuffle: bool = True,
+    drop_last: bool = True,
 ) -> Iterator[dict]:
     """Duration-sorted bucketed batches of raw audio.
 
     Yields dicts: ``wavs (B, bucket*HOP + N_FFT) f32``, ``wav_lens``,
-    ``labels (B, MAX_LABEL_LEN)``, ``label_lens``.
+    ``labels (B, MAX_LABEL_LEN)``, ``label_lens``, ``n_valid`` (int; rows past
+    it are repeats padding the final batch when ``drop_last=False`` — eval
+    must use it, training keeps static full batches with ``drop_last=True``).
     """
     samples = read_manifest(manifest_json)
     # sort by file size as a duration proxy (avoids reading headers twice)
@@ -91,9 +90,16 @@ def batch_iterator(
             samples[i: i + batch_size]
             for i in range(0, len(samples) - batch_size + 1, batch_size)
         ]
+        tail = len(samples) % batch_size
+        if tail and not drop_last:
+            # pad the last batch to the static size by repeating its last row
+            group = samples[-tail:]
+            group = group + [group[-1]] * (batch_size - tail)
+            batches.append(group)
         if shuffle:
             rng.shuffle(batches)
-        for group in batches[rank::world_size]:
+        n_even = len(batches) // world_size * world_size  # equal per-rank counts
+        for group in batches[rank:n_even:world_size]:
             wavs_raw, labels_raw = [], []
             max_frames = 1
             for wav_path, txt_path in group:
@@ -117,7 +123,13 @@ def batch_iterator(
                 m = min(len(y), MAX_LABEL_LEN)
                 labels[i, :m] = y[:m]
                 label_lens[i] = m
-            yield epoch, {
+            out = {
                 "wavs": wavs, "wav_lens": wav_lens,
                 "labels": labels, "label_lens": label_lens,
             }
+            if not drop_last:
+                # host-only key (eval slices by it); omitted for training so
+                # the whole dict can be device_put with batch sharding
+                out["n_valid"] = (tail if tail and group is batches[-1]
+                                  else batch_size)
+            yield epoch, out

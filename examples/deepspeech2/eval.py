@@ -47,12 +47,13 @@ def main():
 
     refs, hyps = [], []
     for _, batch in batch_iterator(
-        cfg.data.test_manifest, int(cfg.data.batch_size), epochs=1, shuffle=False
+        cfg.data.test_manifest, int(cfg.data.batch_size), epochs=1,
+        shuffle=False, drop_last=False,
     ):
         best, out_lens = greedy(jnp.asarray(batch["wavs"]),
                                 jnp.asarray(batch["wav_lens"]))
         best, out_lens = np.asarray(best), np.asarray(out_lens)
-        for i in range(best.shape[0]):
+        for i in range(batch["n_valid"]):
             ids = remove_duplicates_and_blank(
                 best[i, : out_lens[i]].tolist(), BLANK_ID
             )

@@ -36,7 +36,8 @@ def batch_iterator(
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(utts)) if shuffle else np.arange(len(utts))
         sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
-        for batch_idx in sel[rank::world_size]:
+        n_even = len(sel) // world_size * world_size  # equal per-rank counts
+        for batch_idx in sel[rank:n_even:world_size]:
             samples = [
                 np.load(os.path.join(feature_dir, utts[i] + ".npy"),
                         allow_pickle=True).item()

@@ -56,12 +56,30 @@ def main():
 
         wg = WaveGrad()  # hop = prod(up_factors) = 300
         wg_ckpt = restore_checkpoint(args.wavegrad_ckpt)
+        wg_params = (wg_ckpt["params"]["model"]
+                     if "model" in wg_ckpt["params"] else wg_ckpt["params"])
+
+        # compatibility: the vocoder consumes [0,1] dB-normalized mels at
+        # hop 300 (wavegrad preprocess convention); FastSpeech2 must be
+        # preprocessed/trained with matching hop and mel count to vocode
+        wg_mels = wg_params["u_conv"]["kernel"].shape[1]
+        if int(cfg.data.hop_length) != 300 or mel.shape[-1] != wg_mels:
+            raise SystemExit(
+                f"vocoder mismatch: FastSpeech2 mel ({mel.shape[-1]} bins, "
+                f"hop {cfg.data.hop_length}) vs WaveGrad ({wg_mels} bins, "
+                "hop 300). Re-run both preprocess steps with data.n_mels="
+                f"{wg_mels} and data.hop_length=300."
+            )
+        # FS2 stores ln(power-mel); WaveGrad trains on [0,1] dB magnitude:
+        # db = 10*log10(power) = 10*m/ln(10); normalized (db + 80) / 100
+        mel_db = np.clip((10.0 * mel / np.log(10.0) - 20.0 + 100.0) / 100.0,
+                         0.0, 1.0).astype(np.float32)
 
         def apply_fn(params, mel_b, audio, scale):
             return wg.apply({"params": params}, mel_b, audio, scale)
 
         audio = reverse_diffusion(
-            wg_ckpt["params"], apply_fn, jnp.asarray(mel[None]),
+            wg_params, apply_fn, jnp.asarray(mel_db[None]),
             jax.random.PRNGKey(0), hop=300,
         )
         from mindaudio_tpu.data import io

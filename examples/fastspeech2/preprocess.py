@@ -113,6 +113,13 @@ def main():
                 durations = durations[: len(phonemes)]
                 if len(durations) < len(phonemes):
                     durations = np.pad(durations, (0, len(phonemes) - len(durations)))
+                # clamp into the mel frame budget: durations summing past
+                # n_frames would make phoneme_average take empty slices -> NaN
+                cum = np.cumsum(durations.astype(np.int64))
+                durations = np.where(
+                    cum <= n_frames, durations,
+                    np.maximum(n_frames - (cum - durations), 0),
+                ).astype(np.int32)
             else:
                 durations = uniform_durations(len(phonemes), n_frames)
 

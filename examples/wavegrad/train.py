@@ -46,7 +46,8 @@ def crop_iterator(cfg, batch_size, epochs, seed=0, rank=0, world_size=1):
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(utts))
         sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
-        for batch_idx in sel[rank::world_size]:
+        n_even = len(sel) // world_size * world_size  # equal per-rank counts
+        for batch_idx in sel[rank:n_even:world_size]:
             mel = np.zeros((batch_size, crop, int(cfg.data.n_mels)), np.float32)
             audio = np.zeros((batch_size, crop * hop), np.float32)
             for i, u in enumerate(batch_idx):

@@ -73,7 +73,8 @@ def separation_batch_iterator(
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(n) if shuffle else np.arange(n)
         sel = order[: (n // batch_size) * batch_size].reshape(-1, batch_size)
-        for batch_idx in sel[rank::world_size]:
+        n_even = len(sel) // world_size * world_size  # equal per-rank counts
+        for batch_idx in sel[rank:n_even:world_size]:
             mix = np.zeros((batch_size, segment_len), np.float32)
             src = np.zeros((batch_size, len(sources), segment_len), np.float32)
             lengths = np.zeros((batch_size,), np.int32)
