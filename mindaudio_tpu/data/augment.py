@@ -145,9 +145,11 @@ def convolve1d(
             np.fft.rfft(waveforms) * np.fft.rfft(kernel), n=waveforms.shape[-1]
         )
     else:
-        k = kernel.reshape(-1)[::-1]  # np.convolve correlates with flipped kernel
+        # the reference path is nn.Conv1d = cross-correlation; np.convolve
+        # flips its kernel internally, so pass the pre-flipped kernel once
+        k = kernel.reshape(-1)[::-1]
         flat = waveforms.reshape(-1, waveforms.shape[-1])
-        rows = [np.convolve(row, k[::-1], mode="valid")[::stride] for row in flat]
+        rows = [np.convolve(row, k, mode="valid")[::stride] for row in flat]
         convolved = np.stack(rows).reshape(waveforms.shape[:-1] + (-1,))
 
     if n_dim == 1:

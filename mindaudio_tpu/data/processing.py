@@ -123,10 +123,11 @@ def resample(
 
     kernels = []
     for p in range(new):
-        t = (-p / new + idx / orig) * 2 * base_freq * np.pi / orig * orig
-        # t in radians of the lowpass: sinc filter at cutoff base_freq.
+        # normalized lowpass time; clamp to the filter support like the
+        # device twin (ops/resample._kernel) and torchaudio sinc_interp_kaiser
         tt = (-p / new + idx / orig) * base_freq * 2
-        window = np.i0(beta * np.sqrt(np.clip(1 - (tt / lowpass_filter_width / 2) ** 2, 0, 1))) / np.i0(beta)
+        tt = np.clip(tt, -lowpass_filter_width, lowpass_filter_width)
+        window = np.i0(beta * np.sqrt(np.clip(1 - (tt / lowpass_filter_width) ** 2, 0, 1))) / np.i0(beta)
         tt_pi = tt * np.pi
         kernel = np.where(tt_pi == 0, 1.0, np.sin(tt_pi) / np.where(tt_pi == 0, 1.0, tt_pi))
         kernels.append(kernel * window * 2 * base_freq / orig)

@@ -444,7 +444,6 @@ def kaldi_fbank(
     n_frames = 1 + (x.shape[-1] - frame_length) // frame_shift
 
     # snip-edges framing at frame_length, then per-frame DSP before the DFT
-    k = math.ceil(frame_length / frame_shift)
     frames = frame_signal(x, frame_length, frame_shift, n_frames)[..., :frame_length]
     if rng_key is not None and dither > 0:
         frames = frames + dither * jax.random.normal(rng_key, frames.shape)
@@ -654,6 +653,8 @@ def istft(
 
     if center:
         y = y[..., n_fft // 2:]
+        if length is None:  # trim the trailing center pad too (spectrum.py istft)
+            y = y[..., : y.shape[-1] - n_fft // 2]
     if length is not None:
         y = y[..., :length]
         pad = length - y.shape[-1]
