@@ -183,3 +183,37 @@ class TestDeviceISTFT:
         y = np.asarray(ops.istft(S, n_fft=400, hop_length=100, window="hann",
                                  length=batch.shape[-1]))
         np.testing.assert_allclose(y, batch, atol=2e-6)
+
+
+class TestHostDeviceParityFixes:
+    """Regression locks for review-found divergences."""
+
+    def test_kaiser_resample_host_matches_device(self):
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.data.processing import resample as host_resample
+        from mindaudio_tpu.ops.resample import resample as dev_resample
+
+        t = np.arange(16000) / 16000
+        x = np.sin(2 * np.pi * 1000 * t).astype(np.float32)[None]
+        h = host_resample(x, 16000, 8000, res_type="kaiser")
+        d = np.asarray(dev_resample(jnp.asarray(x), 16000, 8000))
+        n = min(h.shape[-1], d.shape[-1]) - 200
+        np.testing.assert_allclose(h[:, 100:n], d[:, 100:n], atol=1e-5)
+
+    def test_istft_default_length_matches_host(self):
+        from mindaudio_tpu.data import spectrum
+
+        x = np.random.default_rng(0).standard_normal((1, 4000)).astype(np.float32)
+        yd = np.asarray(ops.istft(ops.stft(x, n_fft=512), n_fft=512))
+        yh = spectrum.istft(spectrum.stft(x, n_fft=512), n_fft=512)
+        assert yd.shape == yh.shape
+        np.testing.assert_allclose(yd, yh, atol=1e-5)
+
+    def test_convolve1d_is_cross_correlation(self):
+        from mindaudio_tpu.data.augment import convolve1d
+
+        x = np.array([0.0, 0, 1, 0, 0], np.float32)
+        k = np.array([[[1.0, 2, 3]]], np.float32)
+        out = convolve1d(x, k, use_fft=False)
+        np.testing.assert_allclose(out, [3.0, 2.0, 1.0])
