@@ -9,5 +9,6 @@ from .conv_tasnet import ConvTasNet  # noqa: F401
 from .deepspeech2 import DeepSpeechModel  # noqa: F401
 from .ecapa_tdnn import Classifier, EcapaTDNN  # noqa: F401
 from .fastspeech2 import FastSpeech2, FastSpeech2WithLoss  # noqa: F401
+from .greedy_decoder import GreedyCTCDecoder, MSGreedyDecoder  # noqa: F401
 from .tasnet import TasNet  # noqa: F401
 from .wavegrad import WaveGrad, WaveGradWithLoss  # noqa: F401

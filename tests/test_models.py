@@ -230,3 +230,51 @@ class TestSchedules:
         sched = cosine_lr(1.0, 0.1, 10, 100)
         assert float(sched(jnp.asarray(100))) == pytest.approx(0.1, abs=1e-6)
         assert float(sched(jnp.asarray(10))) == pytest.approx(1.0, abs=1e-2)
+
+
+class TestGreedyCTCDecoder:
+    """Greedy char decoder parity (reference greedydecoder.py:78-134)."""
+
+    def test_decode_collapses_repeats_and_blanks(self):
+        import numpy as np
+
+        from mindaudio_tpu.models import MSGreedyDecoder
+
+        labels = ["_", "a", "b", " "]
+        dec = MSGreedyDecoder(labels, blank_index=0)
+        # path: a a _ b _ _ space b  -> "ab b"
+        path = np.array([[1, 1, 0, 2, 0, 0, 3, 2]])
+        vocab = len(labels)
+        probs = np.eye(vocab)[path]  # one-hot (1, T, V)
+        strings, offsets = dec.decode(probs, sizes=np.array([8]))
+        assert strings[0][0] == "ab b"
+        assert offsets[0][0] == [0, 3, 6, 7]
+
+    def test_size_truncation_and_scores(self):
+        import numpy as np
+
+        from mindaudio_tpu.models import GreedyCTCDecoder
+
+        labels = ["_", "a", "b", " "]
+        dec = GreedyCTCDecoder(labels)
+        path = np.array([[1, 2, 1, 2]])
+        probs = np.eye(len(labels))[path]
+        strings, _ = dec.decode(probs, sizes=np.array([2]))
+        assert strings[0][0] == "ab"
+        assert dec.wer("a b", "a c") == 1
+        assert dec.cer("ab", "ab") == 0
+        assert dec.cer("a b", "ab") == 0  # spaces stripped
+
+
+class TestLossAliases:
+    """Reference loss names must resolve (SURVEY §7.3 contract)."""
+
+    def test_aliases_bound_to_functions(self):
+        import mindaudio_tpu.loss as L
+
+        assert L.CTC is L.ctc_loss
+        assert L.LabelSmoothingLoss is L.label_smoothing_loss
+        assert L.Separation_Loss is L.pit_si_snr_loss
+        assert L.Convtasnet_Loss is L.pit_si_snr_loss
+        assert L.AdditiveAngularMargin is L.additive_angular_margin
+        assert L.FastSpeech2Loss is L.fastspeech2_loss
