@@ -19,13 +19,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 from mindaudio_tpu.train.checkpoint import restore_checkpoint
 from mindaudio_tpu.train.config import get_config
 
-from text import load_cmudict, text_to_sequence
+from text import load_cmudict, pinyin_to_sequence, text_to_sequence
 from train import build_model
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--text", default="the quick brown fox jumps over the lazy dog")
+    parser.add_argument("--pinyin", action="store_true",
+                        help="treat --text as tone-numbered Mandarin pinyin "
+                        "('ni3 hao3'); counterpart of the reference's "
+                        "pypinyin Chinese path (reference generate.py:60-66)")
     parser.add_argument("--output", default="generated_mel.npy")
     parser.add_argument("--wavegrad_ckpt", default="")
     args, rest = parser.parse_known_args()
@@ -37,8 +41,11 @@ def main():
     # FastSpeech2WithLoss wraps the model under the 'model' scope
     params = ckpt["params"]["model"] if "model" in ckpt["params"] else ckpt["params"]
 
-    cmudict = load_cmudict(cfg.data.cmudict_path) if cfg.data.cmudict_path else None
-    seq = np.asarray(text_to_sequence(args.text, cmudict=cmudict), np.int32)
+    if args.pinyin:
+        seq = np.asarray(pinyin_to_sequence(args.text), np.int32)
+    else:
+        cmudict = load_cmudict(cfg.data.cmudict_path) if cfg.data.cmudict_path else None
+        seq = np.asarray(text_to_sequence(args.text, cmudict=cmudict), np.int32)
     phonemes = jnp.asarray(seq[None])
     src_lens = jnp.asarray([len(seq)], jnp.int32)
 

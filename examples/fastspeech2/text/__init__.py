@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional
 
-from . import cleaners
+from . import cleaners, pinyin
 
 _PAD = "_"
 _PUNC = "!'(),.:;? "
@@ -21,9 +21,21 @@ _ARPABET = [
     "EY", "F", "G", "HH", "IH", "IY", "JH", "K", "L", "M", "N", "NG", "OW",
     "OY", "P", "R", "S", "SH", "T", "TH", "UH", "UW", "V", "W", "Y", "Z", "ZH",
 ]
+_SILENCES = ["sp", "spn", "sil"]
 
-# id 0 is padding; characters and @-prefixed ARPAbet phones share one table
-symbols: List[str] = [_PAD] + list(_PUNC) + list(_LETTERS) + [f"@{p}" for p in _ARPABET]
+# id 0 is padding; characters, @-prefixed ARPAbet phones, @-prefixed Mandarin
+# pinyin initials/finals, and @-prefixed silences share one table (reference
+# symbols.py: all_symbols = pad + special + punct + letters + arpabet +
+# pinyin + silences). Pinyin and silence blocks are appended last so English
+# character/phone ids stay stable with or without the Chinese front-end.
+symbols: List[str] = (
+    [_PAD]
+    + list(_PUNC)
+    + list(_LETTERS)
+    + [f"@{p}" for p in _ARPABET]
+    + [f"@{p}" for p in pinyin.valid_symbols]
+    + [f"@{s}" for s in _SILENCES]
+)
 _symbol_to_id: Dict[str, int] = {s: i for i, s in enumerate(symbols)}
 
 _stress_re = re.compile(r"([A-Z]+)[0-9]?")
@@ -70,6 +82,22 @@ def text_to_sequence(
             seq.pop()
     else:
         seq = [_symbol_to_id[c] for c in text if c in _symbol_to_id]
+    return seq
+
+
+def pinyin_to_sequence(text: str) -> List[int]:
+    """Tone-numbered Mandarin pinyin text → symbol ids.
+
+    ``"ni3 hao3" → [@n, @i3, @h, @ao3]`` ids. Silence marks (``sp``/``spn``/
+    ``sil``) map to their own symbols; punctuation falls through to the
+    character table. Counterpart of the reference's pypinyin-based Chinese
+    path (reference generate.py:60-66 + text/pinyin.py inventory).
+    """
+    seq: List[int] = []
+    for sym in pinyin.pinyin_to_symbols(text):
+        key = f"@{sym}" if f"@{sym}" in _symbol_to_id else sym
+        if key in _symbol_to_id:
+            seq.append(_symbol_to_id[key])
     return seq
 
 

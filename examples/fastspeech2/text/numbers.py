@@ -75,11 +75,29 @@ def _expand_ordinal(m):
     return (head + " " + last).strip()
 
 
+def _expand_number(m):
+    """Plain numbers; 1000 < n < 3000 read as years ("nineteen ninety nine"),
+    matching the reference cleaner's convention (numbers.py:_expand_number)."""
+    n = int(m.group(0))
+    if 1000 < n < 3000:
+        if n == 2000:
+            return "two thousand"
+        if 2000 < n < 2010:
+            return "two thousand " + _int_to_words(n % 100)
+        if n % 100 == 0:
+            return _int_to_words(n // 100) + " hundred"
+        tail = _int_to_words(n % 100) if n % 100 else ""
+        if n % 100 < 10 and n % 100 > 0:
+            tail = "oh " + tail
+        return f"{_int_to_words(n // 100)} {tail}".strip()
+    return _int_to_words(n)
+
+
 def normalize_numbers(text: str) -> str:
     text = _comma_number_re.sub(lambda m: m.group(1).replace(",", ""), text)
     text = _pounds_re.sub(lambda m: f"{_int_to_words(int(m.group(1).replace(',', '')))} pounds", text)
     text = _dollars_re.sub(_expand_dollars, text)
     text = _decimal_re.sub(_expand_decimal, text)
     text = _ordinal_re.sub(_expand_ordinal, text)
-    text = _number_re.sub(lambda m: _int_to_words(int(m.group(0))), text)
+    text = _number_re.sub(_expand_number, text)
     return text
