@@ -41,7 +41,8 @@ def main():
     # FastSpeech2WithLoss wraps the model under the 'model' scope
     params = ckpt["params"]["model"] if "model" in ckpt["params"] else ckpt["params"]
 
-    if args.pinyin:
+    # --pinyin, or a model preprocessed/trained with data.pinyin: true
+    if args.pinyin or bool(getattr(cfg.data, "pinyin", False)):
         seq = np.asarray(pinyin_to_sequence(args.text), np.int32)
     else:
         cmudict = load_cmudict(cfg.data.cmudict_path) if cfg.data.cmudict_path else None

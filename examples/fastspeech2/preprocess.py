@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 from mindaudio_tpu.data import io, spectrum
 from mindaudio_tpu.train.config import get_config
 
-from text import load_cmudict, text_to_sequence
+from text import load_cmudict, pinyin_to_sequence, text_to_sequence
 
 
 def estimate_f0(wav, sr, hop, frame_len=1024, fmin=70.0, fmax=400.0):
@@ -94,7 +94,12 @@ def main():
             if wav.ndim > 1:
                 wav = wav[:, 0]
 
-            phonemes = np.asarray(text_to_sequence(text, cmudict=cmudict), np.int32)
+            # data.pinyin: transcripts are tone-numbered Mandarin pinyin
+            # (the training-side counterpart of generate.py --pinyin)
+            if bool(getattr(cfg.data, "pinyin", False)):
+                phonemes = np.asarray(pinyin_to_sequence(text), np.int32)
+            else:
+                phonemes = np.asarray(text_to_sequence(text, cmudict=cmudict), np.int32)
             if len(phonemes) == 0:
                 continue
 

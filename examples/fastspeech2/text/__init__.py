@@ -28,6 +28,10 @@ _SILENCES = ["sp", "spn", "sil"]
 # symbols.py: all_symbols = pad + special + punct + letters + arpabet +
 # pinyin + silences). Pinyin and silence blocks are appended last so English
 # character/phone ids stay stable with or without the Chinese front-end.
+# NOTE: appending the blocks grew vocab_size(); checkpoints predating the
+# pinyin front-end have a smaller src_embed table and must be retrained (the
+# embedding rows for ids < 76 are unchanged, so a shape-aware restore could
+# zero-pad instead).
 symbols: List[str] = (
     [_PAD]
     + list(_PUNC)
@@ -95,9 +99,14 @@ def pinyin_to_sequence(text: str) -> List[int]:
     """
     seq: List[int] = []
     for sym in pinyin.pinyin_to_symbols(text):
-        key = f"@{sym}" if f"@{sym}" in _symbol_to_id else sym
-        if key in _symbol_to_id:
-            seq.append(_symbol_to_id[key])
+        if sym.startswith(pinyin.CHAR_FALLBACK):
+            # Non-pinyin token: plain character table only (never phone ids —
+            # 'h' the letter must not resolve to @h the Mandarin initial).
+            ch = sym[len(pinyin.CHAR_FALLBACK):]
+            if ch in _symbol_to_id:
+                seq.append(_symbol_to_id[ch])
+        else:
+            seq.append(_symbol_to_id[f"@{sym}"])
     return seq
 
 

@@ -14,7 +14,12 @@ phonological inventory.
 from __future__ import annotations
 
 import re
+import warnings
 from typing import List
+
+# Prefix marking characters that failed pinyin parsing; consumers map these
+# to the plain character table, never to phone symbols.
+CHAR_FALLBACK = "\x00"
 
 # 21 standard initials + the glides y/w kept as initials (MFA lexicon style).
 initials: List[str] = [
@@ -88,8 +93,9 @@ def split_syllable(syllable: str) -> List[str]:
     elif initial in ("j", "q", "x"):
         rem = {"u": "v", "ue": "ve", "uan": "van", "un": "vn", "iu": "iou"}.get(rem, rem)
     else:
-        # Contracted orthographic forms → full phonological finals.
-        rem = {"iu": "iou", "ui": "uei", "un": "uen"}.get(rem, rem)
+        # Contracted orthographic forms → full phonological finals. "ue" is
+        # the common keyboard spelling of üe after n/l (nue/lue = nüe/lüe).
+        rem = {"iu": "iou", "ui": "uei", "un": "uen", "ue": "ve"}.get(rem, rem)
         if rem == "i" and initial in ("z", "c", "s"):
             rem = "ii"
         elif rem == "i" and initial in ("zh", "ch", "sh", "r"):
@@ -104,10 +110,14 @@ def split_syllable(syllable: str) -> List[str]:
 
 
 def pinyin_to_symbols(text: str) -> List[str]:
-    """Whitespace-separated numbered-pinyin text → flat symbol list.
+    """Whitespace-separated numbered-pinyin text → flat phone-symbol list.
 
-    Non-pinyin tokens (punctuation, "sp"/"sil" silence marks) pass through
-    unchanged so the caller's symbol table can handle them.
+    Phone symbols (initials/finals/rr and sp/spn/sil silences) are returned
+    bare; tokens that do not parse as pinyin fall back to their characters,
+    each prefixed with ``CHAR_FALLBACK`` so the caller can route them to the
+    character table instead of the phone table. Word-like tokens that fail
+    to parse additionally raise a ``UserWarning`` — a typo ("hao33",
+    run-together "ni3hao3") would otherwise synthesize garbage silently.
     """
     out: List[str] = []
     for token in text.split():
@@ -117,5 +127,11 @@ def pinyin_to_symbols(text: str) -> List[str]:
         try:
             out.extend(split_syllable(token))
         except ValueError:
-            out.extend(token)  # fall back to character passthrough
+            if any(c.isalnum() for c in token):
+                warnings.warn(
+                    f"token {token!r} is not tone-numbered pinyin; "
+                    "falling back to character passthrough",
+                    stacklevel=2,
+                )
+            out.extend(CHAR_FALLBACK + c for c in token)
     return out

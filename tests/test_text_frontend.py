@@ -69,6 +69,24 @@ class TestPinyin:
         assert len(ids) == 10
         assert all(0 < i < text.vocab_size() for i in ids)
 
+    def test_lue_nue_keyboard_orthography(self):
+        assert pinyin.split_syllable("lue4") == ["l", "ve4"]
+        assert pinyin.split_syllable("nue4") == ["n", "ve4"]
+
+    def test_fallback_chars_use_letter_table_not_phones(self):
+        # 'h'/'k'/'l' in a non-pinyin token must resolve to letter ids,
+        # never to the same-named Mandarin initial phone ids.
+        with pytest.warns(UserWarning):
+            ids = text.pinyin_to_sequence("ok")
+        letter_ids = [text.symbols.index("o"), text.symbols.index("k")]
+        assert ids == letter_ids
+
+    def test_typo_warns_and_degrades_to_chars(self):
+        with pytest.warns(UserWarning):
+            ids = text.pinyin_to_sequence("ni3hao3")
+        # digits are dropped (not in the table); letters map to the char table
+        assert ids == [text.symbols.index(c) for c in "nihao"]
+
     def test_symbol_table_prefix_stable(self):
         # English ids must not shift when the pinyin block is appended.
         assert text.symbols[0] == "_"
