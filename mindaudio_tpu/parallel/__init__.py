@@ -16,5 +16,9 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
-from .ring_attention import ring_attention, sequence_parallel_attention  # noqa: F401
+from .ring_attention import (  # noqa: F401
+    ring_attention,
+    sequence_parallel_attention,
+    ulysses_attention,
+)
 from .shardings import CONFORMER_TP_RULES, infer_shardings, state_shardings  # noqa: F401

@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_attention", "sequence_parallel_attention"]
+__all__ = [
+    "ring_attention",
+    "ulysses_attention",
+    "sequence_parallel_attention",
+]
 
 NEG_INF = -1.0e30
 
@@ -83,15 +87,64 @@ def ring_attention(q, k, v, kv_valid=None, axis_name: str = "seq", scale=None):
     return out.astype(q.dtype)
 
 
+def ulysses_attention(q, k, v, kv_valid=None, axis_name: str = "seq", scale=None):
+    """Ulysses-style sequence parallelism: all-to-all head↔time redistribution.
+
+    The cheaper SP alternative to :func:`ring_attention` when the head count
+    covers the mesh axis (SURVEY §5.7 north star lists both): one tiled
+    ``all_to_all`` turns time-sharded ``(B, H, T_loc, D)`` shards into
+    head-sharded ``(B, H/n, T, D)`` shards, each device runs ordinary dense
+    attention over the *full* sequence for its head subset (one fused MXU
+    matmul chain, no per-hop ppermute latency), and a second ``all_to_all``
+    restores time sharding. Two collectives total vs the ring's n hops —
+    wins whenever ``H % n == 0`` and the full T×T score tile fits in HBM.
+
+    Must run inside ``shard_map``/``pmap`` with ``axis_name`` bound.
+    Args/returns as :func:`ring_attention`.
+    """
+    n = jax.lax.psum(1, axis_name)
+    h = q.shape[1]
+    if h % n != 0:
+        raise ValueError(f"head count {h} not divisible by mesh axis size {n}")
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+
+    # (B, H, T_loc, D) -> (B, H/n, T, D): scatter heads, gather time
+    a2a = functools.partial(
+        jax.lax.all_to_all, axis_name=axis_name, split_axis=1, concat_axis=2,
+        tiled=True,
+    )
+    qg, kg, vg = a2a(q), a2a(k), a2a(v)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", qg * jnp.asarray(scale, q.dtype), kg)
+    s = s.astype(jnp.float32)
+    if kv_valid is not None:
+        valid = jax.lax.all_gather(kv_valid, axis_name, axis=1, tiled=True)
+        s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    if kv_valid is not None:
+        # fully-masked query rows: softmax over all-NEG_INF is uniform; the
+        # ring path returns 0 there, keep the two variants interchangeable
+        p = jnp.where(valid[:, None, None, :], p, 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vg.dtype), vg)
+
+    # (B, H/n, T, D) -> (B, H, T_loc, D): scatter time, gather heads
+    return jax.lax.all_to_all(
+        out, axis_name=axis_name, split_axis=2, concat_axis=1, tiled=True
+    ).astype(q.dtype)
+
+
 def sequence_parallel_attention(
     q, k, v, mesh: Mesh, kv_valid=None, seq_axis: str = "seq",
-    batch_axis: Optional[str] = "data",
+    batch_axis: Optional[str] = "data", variant: str = "ring",
 ):
     """shard_map wrapper: global ``(B, H, T, D)`` arrays in, attention out.
 
     ``T`` is sharded over ``seq_axis`` (and ``B`` over ``batch_axis`` when
     given) — the drop-in sequence-parallel replacement for a full
-    ``softmax(QK^T)V`` on long audio.
+    ``softmax(QK^T)V`` on long audio. ``variant`` picks the collective
+    pattern: ``"ring"`` (ppermute KV rotation, any head count, O(T_loc²)
+    memory) or ``"ulysses"`` (two all-to-alls, needs ``H % axis_size == 0``).
     """
     try:
         from jax import shard_map
@@ -102,7 +155,8 @@ def sequence_parallel_attention(
     qkv_spec = P(bspec, None, seq_axis, None)
     valid_spec = P(bspec, seq_axis)
 
-    fn = functools.partial(ring_attention, axis_name=seq_axis)
+    impl = {"ring": ring_attention, "ulysses": ulysses_attention}[variant]
+    fn = functools.partial(impl, axis_name=seq_axis)
     if kv_valid is None:
         mapped = shard_map(
             lambda q, k, v: fn(q, k, v),

@@ -69,3 +69,59 @@ class TestRingAttention:
         g_ref = jax.grad(dense_loss)(q, k, v)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestUlyssesAttention:
+    """Ulysses all-to-all variant vs dense reference (needs H % seq == 0)."""
+
+    def _rand(self, b=2, h=4, t=64, d=16, seed=3):
+        rng = np.random.default_rng(seed)
+        mk = lambda: jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+        return mk(), mk(), mk()
+
+    def test_matches_dense(self, mesh):
+        from mindaudio_tpu.parallel.ring_attention import sequence_parallel_attention
+
+        q, k, v = self._rand()
+        out = sequence_parallel_attention(q, k, v, mesh, variant="ulysses")
+        ref = dense_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_matches_ring_with_padding(self, mesh):
+        from mindaudio_tpu.parallel.ring_attention import sequence_parallel_attention
+
+        q, k, v = self._rand(seed=4)
+        b, _, t, _ = q.shape
+        lens = np.array([48, 64])
+        kv_valid = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+        out_u = sequence_parallel_attention(q, k, v, mesh, kv_valid=kv_valid,
+                                            variant="ulysses")
+        out_r = sequence_parallel_attention(q, k, v, mesh, kv_valid=kv_valid,
+                                            variant="ring")
+        ref = dense_attention(q, k, v, kv_valid)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_r),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_head_count_must_divide(self, mesh):
+        from mindaudio_tpu.parallel.ring_attention import sequence_parallel_attention
+
+        q, k, v = self._rand(h=2)  # 2 heads over seq=4
+        with pytest.raises(Exception):
+            jax.block_until_ready(
+                sequence_parallel_attention(q, k, v, mesh, variant="ulysses"))
+
+    def test_jit_grad(self, mesh):
+        from mindaudio_tpu.parallel.ring_attention import sequence_parallel_attention
+
+        q, k, v = self._rand(t=32, seed=5)
+
+        @jax.jit
+        def loss(q, k, v):
+            return sequence_parallel_attention(q, k, v, mesh,
+                                               variant="ulysses").sum()
+
+        g = jax.grad(loss)(q, k, v)
+        assert np.isfinite(np.asarray(g)).all()
