@@ -163,7 +163,7 @@ class ConformerEncoder(nn.Module):
         sub_lens = ((xs_lens - 1) // 2 - 1) // 2
         masks = make_non_pad_mask(sub_lens, t_sub)[:, None, :]  # (B, 1, T')
         chunk_masks = add_optional_chunk_mask(
-            sub_lens, masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
+            masks, self.use_dynamic_chunk, self.use_dynamic_left_chunk,
             decoding_chunk_size, self.static_chunk_size, num_decoding_left_chunks,
             rng_key=chunk_rng,
         )  # (B, T', T') or (B, 1, T')

@@ -30,15 +30,39 @@ __all__ = [
     "get_device_num",
 ]
 
+_distributed_initialized = False
+
 
 def initialize_distributed():
     """Multi-host bootstrap (no-op on single host).
 
     Replaces ``mindspore.communication.init()``: coordinator discovery comes
-    from the standard JAX env vars, not rank tables.
+    from the standard JAX env vars or, on Cloud TPU pod slices, from the TPU
+    runtime's own metadata (``jax.distributed.initialize()`` with no args
+    auto-detects coordinator/process_id/num_processes there — pods set none
+    of the generic env vars, so they must not gate the call).
     """
-    if int(os.environ.get("JAX_NUM_PROCESSES", os.environ.get("NPROC", "1"))) > 1:
-        jax.distributed.initialize()
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    explicit = int(os.environ.get("JAX_NUM_PROCESSES", os.environ.get("NPROC", "1")))
+    pod_env = any(os.environ.get(v) for v in (
+        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+    ))
+    if explicit > 1 or pod_env:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            if explicit > 1:
+                raise  # explicitly-requested multi-process must not degrade
+            # pod-env heuristic misfired (e.g. single-host TPU VM exporting
+            # TPU_WORKER_ID=0, or metadata queries disabled): single-process
+            import warnings
+
+            warnings.warn("jax.distributed.initialize() failed; continuing "
+                          "single-process", stacklevel=2)
+    _distributed_initialized = True
 
 
 def make_mesh(

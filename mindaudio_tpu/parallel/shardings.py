@@ -33,7 +33,15 @@ CONFORMER_TP_RULES: Sequence[Tuple[str, P]] = (
     (r"feed_forward(_macaron)?/Dense_0/kernel$", P(None, "model")),
     (r"feed_forward(_macaron)?/Dense_0/bias$", P("model")),
     (r"feed_forward(_macaron)?/Dense_1/kernel$", P("model", None)),
-    # conformer conv module pointwise convs (Dense layers)
+    # conformer conv module pointwise convs (Dense layers). Caveat: conv1's
+    # 2C output feeds GLU(axis=-1), which pairs element i with C+i across
+    # the contiguous column split, so GSPMD reshards inside the conv module
+    # rather than running it purely block-local. The rules still stay:
+    # test_shardings.py proves loss/grad equivalence WITH them, while
+    # dropping them lets the partitioner pick activation shardings that
+    # miscompute the depthwise-conv kernel grad by a factor of the model
+    # axis size (observed 4x on the 8-device CPU mesh) — explicit param
+    # shardings pin the partitioner to a correct (if chattier) program.
     (r"pointwise_conv1/kernel$", P(None, "model")),
     (r"pointwise_conv1/bias$", P("model")),
     (r"pointwise_conv2/kernel$", P("model", None)),

@@ -72,30 +72,55 @@ def average_checkpoints(directory, steps: Sequence[int], target=None):
     """Parameter-average N checkpoints (reference average_model.py:22-53).
 
     ``steps`` selects which ``step_*`` checkpoints to average — callers pick
-    top-N by eval loss or last-N, as the recipes do.
+    top-N by eval loss or last-N, as the recipes do. Only floating-point
+    leaves are averaged; integer/bool leaves (``step``, optax ``count``, …)
+    are taken from the *last* step so a full ``TrainState`` round-trips with
+    its structure and dtypes intact.
     """
     assert steps, "need at least one checkpoint"
+
+    def _averaged(dtype):
+        # integer/bool leaves (step counters, optax count, rng keys) are not
+        # averaged; everything else (f32/f64/bf16/complex) is
+        return np.dtype(dtype).kind not in "iub"
+
     acc = None
     for s in steps:
         ckpt = restore_checkpoint(directory, step=s, target=target)
         if acc is None:
-            acc = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), ckpt)
+            orig_dtypes = jax.tree_util.tree_map(lambda x: np.asarray(x).dtype, ckpt)
+            acc = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float64)
+                if _averaged(np.asarray(x).dtype) else np.asarray(x),
+                ckpt,
+            )
         else:
             acc = jax.tree_util.tree_map(
-                lambda a, x: a + np.asarray(x, np.float64), acc, ckpt
+                lambda a, x: a + np.asarray(x, np.float64)
+                if _averaged(np.asarray(x).dtype)
+                else np.asarray(x),  # non-float: keep the latest value
+                acc, ckpt,
             )
     n = float(len(steps))
-    return jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+    return jax.tree_util.tree_map(
+        lambda a, dt: (a / n).astype(np.float32 if dt == np.float64 else dt)
+        if _averaged(dt) else a,
+        acc, orig_dtypes,
+    )
 
 
 class CheckpointManager:
     """Rolling save with ``keep_max`` retention + best-by-metric tracking
     (the EvalCallback behavior, reference callback.py:256-448)."""
 
-    def __init__(self, directory, keep_max=30):
+    def __init__(self, directory, keep_max=30, keep_best=None):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.keep_max = keep_max
+        # best-scored steps protected from recency pruning — defaults to
+        # keep_max so "average the N best" always has its inputs on disk
+        # (the reference keeps eval'd ckpts for averaging, callback.py:401)
+        self.keep_best = keep_max if keep_best is None else keep_best
         self.scores = {}  # step -> eval metric
 
     def save(self, state, step, eval_metric=None):
@@ -106,10 +131,16 @@ class CheckpointManager:
 
     def _prune(self):
         steps = list_steps(self.directory)
-        for s in steps[: -self.keep_max] if len(steps) > self.keep_max else []:
-            import shutil
+        if len(steps) <= self.keep_max:
+            return
+        protected = set(steps[-self.keep_max:]) | set(self.best_steps(self.keep_best))
+        import shutil
 
-            shutil.rmtree(os.path.join(self.directory, f"step_{s}"), ignore_errors=True)
+        for s in steps:
+            if s not in protected:
+                shutil.rmtree(os.path.join(self.directory, f"step_{s}"),
+                              ignore_errors=True)
+                self.scores.pop(s, None)  # a pruned step must drop its score
 
     def best_steps(self, n):
         """Top-n steps by (ascending) eval metric — feed to average_checkpoints."""

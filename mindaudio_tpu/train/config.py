@@ -73,11 +73,26 @@ def parse_cli_to_yaml(cfg: Config, argv=None, parser: Optional[argparse.Argument
             if isinstance(v, dict):
                 add_flags(key + ".", v)
             elif isinstance(v, (int, float, str, bool)) or v is None:
-                t = type(v) if v is not None and not isinstance(v, bool) else str
-                parser.add_argument(f"--{key}", type=t, default=None)
+                # every flag parses as str; the YAML value is re-typed at
+                # merge time — a numeric default must not hard-reject a
+                # numeric override of a different kind (--ctc_weight 0.3
+                # over an int-zero default), and a null default must not
+                # lock the key to str forever
+                parser.add_argument(f"--{key}", type=str, default=None)
 
     add_flags("", cfg)
     args, _ = parser.parse_known_args(argv)
+
+    def retype(old, raw: str):
+        if isinstance(old, bool):
+            return raw.lower() in ("1", "true", "yes")
+        try:  # numbers / null / lists parse as YAML scalars
+            parsed = yaml.safe_load(raw)
+        except yaml.YAMLError:
+            return raw
+        if isinstance(old, str) and not isinstance(parsed, str):
+            return raw  # string-typed keys keep the literal text
+        return parsed
 
     for key, val in vars(args).items():
         if val is None:
@@ -86,10 +101,7 @@ def parse_cli_to_yaml(cfg: Config, argv=None, parser: Optional[argparse.Argument
         parts = key.split(".")
         for p in parts[:-1]:
             node = node[p]
-        old = node.get(parts[-1])
-        if isinstance(old, bool):
-            val = str(val).lower() in ("1", "true", "yes")
-        node[parts[-1]] = val
+        node[parts[-1]] = retype(node.get(parts[-1]), val)
     return cfg
 
 

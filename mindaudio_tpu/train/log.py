@@ -16,9 +16,20 @@ _LOGGERS = {}
 
 
 def get_logger(name="mindaudio_tpu", log_dir=None, rank=None, stdout_ranks=(0,)):
-    """Build (once) a logger with rotating file output and rank-0 stdout."""
-    if name in _LOGGERS:
-        return _LOGGERS[name]
+    """Build a logger with rotating file output and rank-0 stdout.
+
+    Cached per (name, settings): calling again with the same name but
+    different explicit ``log_dir``/``rank``/``stdout_ranks`` reconfigures
+    the handlers instead of silently returning the stale logger (a recipe
+    must be able to override a default logger created at import time).
+    """
+    cfg_key = (name, log_dir, rank, tuple(stdout_ranks))
+    cached = _LOGGERS.get(name)
+    all_defaults = log_dir is None and rank is None and tuple(stdout_ranks) == (0,)
+    if cached is not None and (cached[0] == cfg_key or all_defaults):
+        # same settings, or a don't-care default call after an explicit
+        # configuration — never downgrade an explicitly-configured logger
+        return cached[1]
 
     if rank is None:
         try:
@@ -31,6 +42,9 @@ def get_logger(name="mindaudio_tpu", log_dir=None, rank=None, stdout_ranks=(0,))
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.propagate = False
+    for h in list(logger.handlers):  # reconfiguring: drop previous handlers
+        logger.removeHandler(h)
+        h.close()
     fmt = logging.Formatter(
         f"%(asctime)s [rank {rank}] %(levelname)s %(name)s: %(message)s"
     )
@@ -51,7 +65,7 @@ def get_logger(name="mindaudio_tpu", log_dir=None, rank=None, stdout_ranks=(0,))
         sh.setFormatter(fmt)
         logger.addHandler(sh)
 
-    _LOGGERS[name] = logger
+    _LOGGERS[name] = (cfg_key, logger)
     return logger
 
 

@@ -38,14 +38,21 @@ def create_train_state(model, params, tx, batch_stats=None, dropout_rng=None):
     )
 
 
-def skip_nonfinite_update(old_state, new_state, loss):
+def skip_nonfinite_update(old_state, new_state, loss, grads=None):
     """Keep the old state when loss/grads went non-finite.
 
     The bf16 counterpart of the reference's loss-scale overflow skip
-    (reference utils/train_one_step.py:44-46): no dynamic scaling is needed
-    with f32 params, but a rare inf/nan batch shouldn't poison the weights.
+    (reference utils/train_one_step.py:44-46, which checks ``FloatStatus``
+    over the *gradients*): no dynamic scaling is needed with f32 params, but
+    a rare inf/nan batch shouldn't poison the weights. A finite loss does
+    not imply finite grads (backward-only overflow), so when ``grads`` is
+    given every leaf is checked too.
     """
     ok = jnp.isfinite(loss)
+    if grads is not None:
+        leaves_ok = [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+        if leaves_ok:
+            ok = jnp.logical_and(ok, jnp.stack(leaves_ok).all())
     return jax.tree_util.tree_map(
         lambda n, o: jnp.where(ok, n, o), new_state, old_state
     )
@@ -92,7 +99,7 @@ def make_train_step(
         if has_batch_stats and "batch_stats" in aux:
             new_state = new_state.replace(batch_stats=aux.pop("batch_stats"))
         if skip_nonfinite:
-            new_state = skip_nonfinite_update(state, new_state, loss)
+            new_state = skip_nonfinite_update(state, new_state, loss, grads=grads)
         metrics = dict(aux, loss=loss)
         return new_state, metrics
 

@@ -61,11 +61,15 @@ def add_sos_eos(ys_pad, sos, eos, ignore_id=IGNORE_ID):
 
 
 def add_blank(ys_pad, blank, ignore_id=IGNORE_ID):
-    """Interleave CTC blanks: ``y -> blank y1 blank y2 ...`` (for some TTS/CTC uses)."""
+    """Interleave CTC blanks: ``y -> blank y1 blank y2 ...`` (for some TTS/CTC uses).
+
+    ``ignore_id`` padding positions become ``blank`` (they must never reach
+    an embedding/loss as negative indices).
+    """
     ys_pad = np.asarray(ys_pad)
     b, length = ys_pad.shape
     out = np.full((b, 2 * length + 1), blank, dtype=ys_pad.dtype)
-    out[:, 1::2] = ys_pad
+    out[:, 1::2] = np.where(ys_pad == ignore_id, blank, ys_pad)
     return out
 
 

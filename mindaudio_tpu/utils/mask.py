@@ -53,7 +53,6 @@ def subsequent_chunk_mask(size, chunk_size, num_left_chunks=-1):
 
 
 def add_optional_chunk_mask(
-    xs_len,
     masks,
     use_dynamic_chunk,
     use_dynamic_left_chunk,

@@ -31,7 +31,7 @@ class TestChunkMasks:
         lens = jnp.asarray([8, 6])
         pad = make_non_pad_mask(lens, 8)[:, None, :]
         chunk = add_optional_chunk_mask(
-            lens, pad, use_dynamic_chunk=False, use_dynamic_left_chunk=False,
+            pad, use_dynamic_chunk=False, use_dynamic_left_chunk=False,
             decoding_chunk_size=0, static_chunk_size=2, num_decoding_left_chunks=-1,
         )
         m = np.asarray(chunk[0])
@@ -43,7 +43,7 @@ class TestChunkMasks:
         lens = jnp.asarray([8])
         pad = make_non_pad_mask(lens, 8)[:, None, :]
         out = add_optional_chunk_mask(
-            lens, pad, use_dynamic_chunk=True, use_dynamic_left_chunk=False,
+            pad, use_dynamic_chunk=True, use_dynamic_left_chunk=False,
             decoding_chunk_size=0, static_chunk_size=0,
             num_decoding_left_chunks=-1, rng_key=jax.random.PRNGKey(0),
         )

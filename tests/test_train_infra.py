@@ -153,3 +153,117 @@ class TestPrefetch:
         assert next(it) == 1
         with pytest.raises(ValueError, match="boom"):
             list(it)
+
+
+class TestReviewRegressions:
+    """Regression tests for the round-1 infrastructure review findings."""
+
+    def test_prune_protects_best_scored_steps(self, tmp_path):
+        from mindaudio_tpu.train.checkpoint import CheckpointManager, list_steps
+
+        mgr = CheckpointManager(str(tmp_path), keep_max=2, keep_best=2)
+        # best eval metric lands early (step 1) — recency-only pruning
+        # would delete it and break average_best
+        for step, metric in [(1, 1.0), (2, 9.0), (3, 8.0), (4, 7.0)]:
+            mgr.save({"w": np.full((2,), float(step), np.float32)}, step,
+                     eval_metric=metric)
+        kept = list_steps(str(tmp_path))
+        assert 1 in kept                     # best-scored survives
+        assert set(kept) >= {3, 4}           # recency window survives
+        assert 2 not in kept                 # neither recent nor best
+        assert 2 not in mgr.scores           # pruned step dropped its score
+        avg = mgr.average_best(1)
+        np.testing.assert_allclose(avg["w"], np.full((2,), 1.0))
+
+    def test_average_preserves_integer_leaves(self, tmp_path):
+        from mindaudio_tpu.train.checkpoint import (
+            average_checkpoints, save_checkpoint,
+        )
+
+        for step in (1, 2):
+            save_checkpoint(str(tmp_path), {
+                "w": np.full((2,), float(step), np.float32),
+                "count": np.asarray(step * 10, np.int32),
+            }, step)
+        avg = average_checkpoints(str(tmp_path), [1, 2])
+        np.testing.assert_allclose(avg["w"], np.full((2,), 1.5))
+        assert avg["count"].dtype == np.int32     # not averaged to float
+        assert int(avg["count"]) == 20            # latest step's value
+
+    def test_finite_loss_nonfinite_grads_skipped(self):
+        import jax.numpy as jnp
+        import optax
+
+        from mindaudio_tpu.train.state import TrainState, make_train_step
+
+        def loss_fn(params, state, batch, rng):
+            # loss is finite (sqrt(0) = 0) but d/dw sqrt(w*x) at w=0 is inf
+            return jnp.sqrt(params["w"] * batch["x"]).sum(), {}
+
+        state = TrainState.create(
+            apply_fn=None, params={"w": jnp.zeros((4,))}, tx=optax.sgd(0.1))
+        step = make_train_step(loss_fn)
+        new_state, metrics = step(state, {"x": jnp.ones((4,))})
+        assert np.isfinite(float(metrics["loss"]))
+        np.testing.assert_array_equal(np.asarray(new_state.params["w"]),
+                                      np.zeros((4,)))  # update skipped
+
+    def test_prefetch_early_abandon_stops_worker(self):
+        import itertools
+        import time
+
+        from mindaudio_tpu.train.prefetch import prefetch
+
+        produced = []
+
+        def gen():
+            for i in itertools.count():
+                produced.append(i)
+                yield i
+
+        it = prefetch(gen(), size=2)
+        assert next(it) == 0
+        it.close()  # abandon: GeneratorExit must stop the producer
+        time.sleep(0.5)
+        n = len(produced)
+        time.sleep(0.4)
+        assert len(produced) == n, "producer kept running after abandon"
+
+    def test_cli_float_over_int_default_and_null(self, tmp_path):
+        import yaml
+
+        from mindaudio_tpu.train.config import get_config
+
+        p = tmp_path / "c.yaml"
+        p.write_text(yaml.safe_dump(
+            {"ctc_weight": 0, "resume": None, "name": "x", "ver": "1.9"}))
+        cfg = get_config(str(p), ["--ctc_weight", "0.3", "--resume", "5",
+                                  "--ver", "2.0"])
+        assert cfg["ctc_weight"] == pytest.approx(0.3)
+        assert cfg["resume"] == 5 and isinstance(cfg["resume"], int)
+        assert cfg["ver"] == "2.0"  # string-typed keys keep literal text
+
+    def test_add_blank_replaces_ignore_id(self):
+        from mindaudio_tpu.utils.common import IGNORE_ID, add_blank
+
+        ys = np.asarray([[5, 7, IGNORE_ID]])
+        out = add_blank(ys, blank=0)
+        assert out.tolist() == [[0, 5, 0, 7, 0, 0, 0]]
+        assert (out >= 0).all()
+
+    def test_get_logger_reconfigures_on_explicit_args(self, tmp_path):
+        from mindaudio_tpu.train.log import get_logger
+
+        first = get_logger("t_reconf")  # defaults
+        second = get_logger("t_reconf", log_dir=str(tmp_path), rank=3,
+                            stdout_ranks=())
+        assert second is not first or any(
+            getattr(h, "baseFilename", "").startswith(str(tmp_path))
+            for h in second.handlers)
+        import os
+
+        assert os.path.exists(os.path.join(str(tmp_path), "t_reconf.log"))
+        # a later don't-care default call must not downgrade the config
+        third = get_logger("t_reconf")
+        assert any(getattr(h, "baseFilename", "").startswith(str(tmp_path))
+                   for h in third.handlers)
