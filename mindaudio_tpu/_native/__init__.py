@@ -39,12 +39,19 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
-        try:
-            build()
-        except Exception:
+    try:
+        # always consult build(): it is a no-op when the .so is newer than
+        # the source, and recompiles a missing or stale binary (an edited
+        # wav_loader.cc must never keep running through the old .so)
+        build()
+    except Exception:
+        if not os.path.exists(_SO):
             return None
-    lib = ctypes.CDLL(_SO)
+        # toolchain unavailable but a prebuilt .so exists — use it
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None  # ABI-incompatible binary: fall back to the NumPy path
     lib.wav_read_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,

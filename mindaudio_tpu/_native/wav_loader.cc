@@ -74,7 +74,10 @@ Result decode_wav(const char* path, float* out, int64_t max_len) {
       channels = rd_u16(p + 2, big);
       rate = rd_u32(p + 4, big);
       bits = rd_u16(p + 14, big);
-      if (fmt_code == 0xFFFE && size >= 24) // WAVE_FORMAT_EXTENSIBLE
+      // WAVE_FORMAT_EXTENSIBLE: the subformat GUID lives past the base 16
+      // fmt bytes — bound by the actual file size, not just the chunk's
+      // self-declared size (a truncated file must not read past the buffer)
+      if (fmt_code == 0xFFFE && size >= 26 && pos + 8 + 26 <= (size_t)fsize)
         fmt_code = rd_u16(p + 24, big);
     } else if (std::memcmp(hdr, "data", 4) == 0) {
       data = hdr + 8;

@@ -44,8 +44,18 @@ def get_eer_from_scores(scores, labels):
     tpr = np.concatenate([[0.0], tpr])
     eer = brentq(lambda x: 1.0 - x - interp1d(fpr, tpr)(x), 0.0, 1.0)
 
-    # threshold at the EER operating point
-    order = np.argsort(-scores)
-    idx = int(np.clip(np.searchsorted(fpr[1:], eer), 0, len(scores) - 1))
-    thresh = scores[order][idx]
+    # threshold at the EER operating point: sweep the "accept if score >=
+    # cut" rule over every candidate cut and take the one where FPR and FNR
+    # meet. A pure fpr-index lookup returns the single top score when
+    # eer ~= 0, which rejects almost every positive trial despite the
+    # perfect separation.
+    sorted_scores = np.sort(scores)[::-1]  # descending candidate cuts
+    fnr_sweep = 1.0 - tpr[1:]
+    fpr_sweep = fpr[1:]
+    idx = int(np.argmin(np.abs(fpr_sweep - fnr_sweep)))
+    thresh = sorted_scores[idx]
+    if idx + 1 < len(sorted_scores):
+        # midpoint of the decision gap generalizes better than the boundary
+        # score itself (any cut inside the gap has the same error rates)
+        thresh = 0.5 * (thresh + sorted_scores[idx + 1])
     return float(eer), float(thresh)

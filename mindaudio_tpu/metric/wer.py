@@ -31,6 +31,11 @@ def wer(references, hypotheses):
     """
     if references and isinstance(references[0], (str, int)):
         references, hypotheses = [references], [hypotheses]
+    if len(references) != len(hypotheses):
+        raise ValueError(
+            f"unpaired sequences: {len(references)} references vs "
+            f"{len(hypotheses)} hypotheses"
+        )
     total_err = 0
     total_len = 0
     for ref, hyp in zip(references, hypotheses):

@@ -136,7 +136,35 @@ def melscale_fbanks(
     if norm == "slaney":
         enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
         fb *= enorm.reshape(1, -1)
+    elif norm is not None and norm != "none":
+        raise ValueError(f"Unsupported norm={norm!r}")
     return fb.astype(dtype)
+
+
+def kaldi_mel_banks(num_bins, n_fft, sample_rate, low_freq=20.0, high_freq=None,
+                    dtype=np.float32):
+    """Kaldi-convention mel filterbank, shape ``(n_fft // 2 + 1, num_bins)``.
+
+    Unlike :func:`melscale_fbanks` (triangles linear in Hz), Kaldi evaluates
+    the triangles **in the mel domain** at each FFT bin's mel value — the
+    weights differ even at identical band edges. Matches the reference
+    conformer recipe's bank construction (examples/conformer/dataset.py:
+    ``get_mel_banks``:68, mel = 1127·ln(1+f/700), edges on a uniform mel
+    grid over [low_freq, high_freq], final nyquist column zero).
+    """
+    if high_freq is None:
+        high_freq = sample_rate / 2.0
+    n_freqs = n_fft // 2  # kaldi leaves the nyquist bin out of the triangles
+    bin_mels = hz_to_mel(sample_rate / n_fft * np.arange(n_freqs), htk=True)
+
+    edge = np.linspace(hz_to_mel(low_freq, htk=True),
+                       hz_to_mel(high_freq, htk=True), num_bins + 2)
+    left, center, right = edge[:-2, None], edge[1:-1, None], edge[2:, None]
+    rising = (bin_mels[None, :] - left) / (center - left)
+    falling = (right - bin_mels[None, :]) / (right - center)
+    weights = np.maximum(0.0, np.minimum(rising, falling))  # (num_bins, n_freqs)
+    weights = np.pad(weights, ((0, 0), (0, 1)))  # zero nyquist column
+    return weights.T.astype(dtype)
 
 
 def create_dct(n_mfcc, n_mels, norm=None, dtype=np.float32):
@@ -166,11 +194,13 @@ def get_window(window, win_length, fftbins=True):
 
 
 def povey_window(win_length):
-    """Kaldi's 'povey' window: hann ** 0.85 (periodic).
+    """Kaldi's 'povey' window: symmetric hann ** 0.85.
 
-    Used by the reference conformer recipe's fbank front-end
-    (examples/conformer/dataset.py:142-157).
+    Symmetric (denominator ``N-1``), matching Kaldi and the reference
+    conformer recipe's ``np.power(np.hanning(frame_len), 0.85)``
+    (examples/conformer/dataset.py:126) — ``np.hanning`` is the symmetric
+    form, not the periodic one.
     """
     n = np.arange(win_length, dtype=np.float64)
-    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (win_length - 1))
     return hann**0.85

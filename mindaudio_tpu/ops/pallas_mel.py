@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .filterbanks import get_window, melscale_fbanks
+from .filterbanks import get_window, kaldi_mel_banks, melscale_fbanks
 
 __all__ = ["fused_logmel", "fused_logmel_reference"]
 
@@ -40,7 +40,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _design(n_fft, win_length, hop, window, n_mels, sample_rate, f_min, f_max, log_floor, kaldi):
+def _design(n_fft, win_length, hop, window, n_mels, sample_rate, f_min, f_max, kaldi):
     """Host-side constant matrices for the kernel (folded in at trace time).
 
     The signal enters the kernel as (n_sub, hop_pad) rows — each hop of samples
@@ -76,10 +76,17 @@ def _design(n_fft, win_length, hop, window, n_mels, sample_rate, f_min, f_max, l
 
     fmax = f_max if f_max is not None else sample_rate / 2.0
     fb = np.zeros((n_freq_pad, n_mels_pad), np.float32)
-    fb[:n_freq, :n_mels] = melscale_fbanks(
-        n_freq, f_min, fmax, n_mels, sample_rate, norm=None, mel_scale="htk"
-    )
-    # keep padded mel columns out of log(0): they are sliced away after the call
+    if kaldi:
+        # kaldi front-end: triangles evaluated in the mel domain, matching
+        # spectral.kaldi_fbank's bank exactly
+        fb[:n_freq, :n_mels] = kaldi_mel_banks(n_mels, n_fft, sample_rate,
+                                               low_freq=f_min, high_freq=fmax)
+    else:
+        fb[:n_freq, :n_mels] = melscale_fbanks(
+            n_freq, f_min, fmax, n_mels, sample_rate, norm=None, mel_scale="htk"
+        )
+    # padded mel columns stay zero; the caller's log floor keeps them out of
+    # log(0) and they are sliced away after the call
     return (
         jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(fb),
         k, hop_pad, width_pad, n_freq_pad, n_mels_pad,
@@ -195,7 +202,7 @@ def fused_logmel(
 
     wr, wi, fb, k, hop_pad, width_pad, n_freq_pad, n_mels_pad = _design(
         n_fft, win_length, hop, window, n_mels, sample_rate, f_min, f_max,
-        log_floor, kaldi,
+        kaldi,
     )
 
     n_blocks = pl.cdiv(n_frames, block_frames)

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .filterbanks import create_dct, get_window, melscale_fbanks
+from .filterbanks import (
+    create_dct,
+    get_window,
+    kaldi_mel_banks,
+    melscale_fbanks,
+)
 
 # DSP parity ops run the MXU in full-f32 (3-pass bf16) mode: feature extraction
 # feeds CMVN statistics and golden tests, where bf16-default matmul error
@@ -71,6 +76,16 @@ __all__ = [
     "sliding_window_cmn",
     "global_cmvn",
 ]
+
+
+@functools.lru_cache(maxsize=16)
+def _raw_dft(n_fft, dtype_str="float32"):
+    """Unwindowed rDFT cos/sin basis ``(n_fft, n_fft//2+1)`` (plain numpy)."""
+    n = np.arange(n_fft)[:, None]
+    freqs = np.arange(n_fft // 2 + 1)[None, :]
+    angle = -2.0 * np.pi * n * freqs / n_fft
+    dtype = np.dtype(dtype_str)
+    return np.cos(angle).astype(dtype), np.sin(angle).astype(dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -457,23 +472,21 @@ def kaldi_fbank(
     win = jnp.asarray(get_window(window, frame_length))
     frames = frames * win
 
-    # zero-pad to n_fft and DFT-matmul
+    # zero-pad to n_fft and DFT-matmul (cached plain-numpy basis: see
+    # dft_matrices' tracer-leak note)
     pad = n_fft - frame_length
     frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad)])
-    n = np.arange(n_fft)[:, None]
-    freqs = np.arange(n_fft // 2 + 1)[None, :]
-    angle = -2.0 * np.pi * n * freqs / n_fft
-    wr = jnp.asarray(np.cos(angle), jnp.float32)
-    wi = jnp.asarray(np.sin(angle), jnp.float32)
+    wr_np, wi_np = _raw_dft(n_fft)
+    wr = jnp.asarray(wr_np, jnp.float32)
+    wi = jnp.asarray(wi_np, jnp.float32)
     real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=_PRECISION)
     imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=_PRECISION)
     power = real * real + imag * imag
 
-    # kaldi mel banks: HTK mel points over [20, nyquist], no norm
-    fb = jnp.asarray(
-        melscale_fbanks(n_fft // 2 + 1, 20.0, sample_rate / 2.0, num_mel_bins,
-                        sample_rate, norm=None, mel_scale="htk")
-    )
+    # kaldi mel banks: triangles evaluated in the mel domain over
+    # [20, nyquist] (filterbanks.kaldi_mel_banks — NOT the torchaudio-style
+    # linear-in-Hz melscale_fbanks, whose weights differ from kaldi's)
+    fb = jnp.asarray(kaldi_mel_banks(num_mel_bins, n_fft, sample_rate))
     mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32, precision=_PRECISION)
     return jnp.log(jnp.maximum(mel, 1.1920928955078125e-07))
 

@@ -5,7 +5,8 @@ Ports of reference ``mindaudio/scheduler/scheduler_factory.py``:
 decay), ``CosineLearningRate`` (:93), ``step_lr`` (:127), plus the recipes'
 exponential decay (examples/fastspeech2/train.py:181-188) and cyclic
 triangular LR (examples/ECAPA-TDNN/train_speaker_embeddings.py:418-424).
-All return callables usable directly as optax schedules.
+All return callables usable directly as optax schedules; a plain
+Python int step works too (each schedule coerces with ``jnp.asarray``).
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ def asr_warmup_lr(lr, warmup_steps=25000, start_steps=0):
     """Noam warmup: ``lr * warmup^0.5 * min(step^-0.5, step * warmup^-1.5)``."""
 
     def schedule(step):
-        s = jnp.maximum(step + start_steps, 1).astype(jnp.float32)
+        s = jnp.maximum(jnp.asarray(step) + start_steps, 1).astype(jnp.float32)
         return lr * warmup_steps**0.5 * jnp.minimum(s**-0.5, s * warmup_steps**-1.5)
 
     return schedule
@@ -36,7 +37,7 @@ def warmup_poly_lr(lr, min_lr, warmup_steps, total_steps, power=1.0, start_steps
     """Linear warmup then polynomial decay to ``min_lr``."""
 
     def schedule(step):
-        s = (step + start_steps).astype(jnp.float32)
+        s = (jnp.asarray(step) + start_steps).astype(jnp.float32)
         warm = lr * s / max(warmup_steps, 1)
         frac = jnp.clip((s - warmup_steps) / max(total_steps - warmup_steps, 1), 0.0, 1.0)
         decay = (lr - min_lr) * (1.0 - frac) ** power + min_lr
@@ -49,7 +50,7 @@ def cosine_lr(lr, min_lr, warmup_steps, total_steps, start_steps=0):
     """Linear warmup then cosine decay to ``min_lr``."""
 
     def schedule(step):
-        s = (step + start_steps).astype(jnp.float32)
+        s = (jnp.asarray(step) + start_steps).astype(jnp.float32)
         warm = lr * s / max(warmup_steps, 1)
         frac = jnp.clip((s - warmup_steps) / max(total_steps - warmup_steps, 1), 0.0, 1.0)
         decay = min_lr + 0.5 * (lr - min_lr) * (1.0 + jnp.cos(jnp.pi * frac))
@@ -62,7 +63,7 @@ def step_lr(lr, epoch_size, factor=0.5, interval=2):
     """Halve (by ``factor``) every ``interval`` epochs (reference :127)."""
 
     def schedule(step):
-        epoch = step // epoch_size
+        epoch = jnp.asarray(step) // epoch_size
         return lr * factor ** (epoch // interval).astype(jnp.float32)
 
     return schedule
@@ -72,7 +73,7 @@ def exponential_decay_lr(lr, decay_rate, decay_steps, staircase=True):
     """``lr * decay_rate^(step / decay_steps)``."""
 
     def schedule(step):
-        p = step / decay_steps
+        p = jnp.asarray(step) / decay_steps
         if staircase:
             p = jnp.floor(p)
         return lr * decay_rate**p.astype(jnp.float32)
@@ -84,6 +85,7 @@ def cyclic_triangular_lr(min_lr, max_lr, step_size):
     """Triangular cyclic LR (ECAPA recipe)."""
 
     def schedule(step):
+        step = jnp.asarray(step)
         cycle = jnp.floor(1 + step / (2 * step_size))
         x = jnp.abs(step / step_size - 2 * cycle + 1)
         return min_lr + (max_lr - min_lr) * jnp.maximum(0.0, 1.0 - x)

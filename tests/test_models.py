@@ -278,3 +278,18 @@ class TestLossAliases:
         assert L.Convtasnet_Loss is L.pit_si_snr_loss
         assert L.AdditiveAngularMargin is L.additive_angular_margin
         assert L.FastSpeech2Loss is L.fastspeech2_loss
+
+
+class TestMetricRegressions:
+    def test_eer_threshold_separates_perfectly_split_scores(self):
+        from mindaudio_tpu.metric import get_eer
+
+        eer, thr = get_eer([5.0, 6.0, 7.0], [1.0, 2.0, 3.0])
+        assert eer == pytest.approx(0.0, abs=1e-9)
+        assert 3.0 < thr <= 5.0  # any cut in the gap; not the top score
+
+    def test_wer_rejects_unpaired_lists(self):
+        from mindaudio_tpu.metric import wer
+
+        with pytest.raises(ValueError):
+            wer([["a"], ["b"]], [["a"]])

@@ -217,3 +217,43 @@ class TestHostDeviceParityFixes:
         k = np.array([[[1.0, 2, 3]]], np.float32)
         out = convolve1d(x, k, use_fft=False)
         np.testing.assert_allclose(out, [3.0, 2.0, 1.0])
+
+
+class TestKaldiParityRegressions:
+    """Round-1 review: povey window symmetry + mel-domain kaldi banks."""
+
+    def test_povey_window_is_symmetric_hanning_pow(self):
+        from mindaudio_tpu.ops.filterbanks import povey_window
+
+        w = povey_window(400)
+        ref = np.power(np.hanning(400), 0.85)  # reference dataset.py:126
+        np.testing.assert_allclose(w, ref, atol=1e-12)
+        assert w[0] == 0.0 and abs(w[-1]) < 1e-12  # symmetric endpoints
+
+    def test_kaldi_mel_banks_triangles_in_mel_domain(self):
+        from mindaudio_tpu.ops.filterbanks import kaldi_mel_banks
+
+        def mel(f):
+            return 1127.0 * np.log(1.0 + f / 700.0)
+
+        n_fft, sr, nb = 512, 16000, 8
+        bin_mel = mel(sr / n_fft * np.arange(n_fft // 2))
+        edges = np.linspace(mel(20.0), mel(8000.0), nb + 2)
+        ref = np.zeros((n_fft // 2, nb))
+        for m in range(nb):
+            lo, c, hi = edges[m], edges[m + 1], edges[m + 2]
+            up = (bin_mel - lo) / (c - lo)
+            dn = (hi - bin_mel) / (hi - c)
+            ref[:, m] = np.clip(np.minimum(up, dn), 0, None)
+        ours = kaldi_mel_banks(nb, n_fft, sr)
+        assert ours.shape == (n_fft // 2 + 1, nb)
+        np.testing.assert_allclose(ours[: n_fft // 2], ref, atol=1e-6)
+        assert np.all(ours[-1] == 0)  # nyquist column
+
+    def test_melscale_fbanks_rejects_unknown_norm(self):
+        import pytest
+
+        from mindaudio_tpu.ops.filterbanks import melscale_fbanks
+
+        with pytest.raises(ValueError):
+            melscale_fbanks(201, 0.0, 8000.0, 80, 16000, norm="ortho")
