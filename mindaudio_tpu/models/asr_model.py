@@ -143,11 +143,12 @@ class ASRModel(nn.Module):
             deterministic=True,
         )
 
-    def encode_chunk(self, xs, att_caches=None, cnn_caches=None):
+    def encode_chunk(self, xs, att_caches=None, cnn_caches=None,
+                     required_cache_size=-1):
         """Streaming: one encoder chunk + its CTC log-probs
         (drives ``ConformerEncoder.forward_chunk``; needs causal_conv=True)."""
         ys, att_caches, cnn_caches = self.encoder.forward_chunk(
-            xs, att_caches, cnn_caches
+            xs, att_caches, cnn_caches, required_cache_size=required_cache_size
         )
         log_probs = jax.nn.log_softmax(
             self.ctc_proj(ys).astype(jnp.float32), axis=-1

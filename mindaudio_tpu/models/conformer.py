@@ -10,7 +10,7 @@ compute / f32 params, chunk masks built by ``utils.mask`` for streaming.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -173,7 +173,8 @@ class ConformerEncoder(nn.Module):
             xs = layer(xs, chunk_masks, pos_emb, mask_pad, deterministic)
         return xs, masks
 
-    def forward_chunk(self, xs, att_caches=None, cnn_caches=None):
+    def forward_chunk(self, xs, att_caches=None, cnn_caches=None,
+                      required_cache_size=-1):
         """Streaming: encode ONE raw-feature chunk with per-layer caches.
 
         New capability beyond the reference (its layers carry cache args but
@@ -189,6 +190,13 @@ class ConformerEncoder(nn.Module):
             cnn_caches: per-layer ``(B, kernel-1, d_model)`` conv left
                 context, or None at stream start. Requires
                 ``causal_conv=True``.
+            required_cache_size: cap on the attention left-context length
+                (subsampled frames). ``-1`` keeps the full history — exact,
+                but the cache (and a jitted loop's compile count) grows with
+                every chunk. A positive cap bounds memory/compute to
+                O(cap + chunk) per call and the set of jit shapes to
+                ``cap // chunk + 1``, matching WeNet's
+                ``required_cache_size`` streaming semantic.
 
         Returns:
             ``(ys (B, C, d_model), att_caches, cnn_caches)``.
@@ -222,6 +230,11 @@ class ConformerEncoder(nn.Module):
                 xs, None, pos_emb, None, True,
                 att_cache=a_c, cnn_cache=c_c,
             )
+            if required_cache_size >= 0:
+                a_new = (a_new[0][:, :, -required_cache_size:, :] if required_cache_size
+                         else a_new[0][:, :, :0, :],
+                         a_new[1][:, :, -required_cache_size:, :] if required_cache_size
+                         else a_new[1][:, :, :0, :])
             new_att.append(a_new)
             new_cnn.append(c_new)
         return xs, new_att, new_cnn

@@ -125,10 +125,12 @@ class ConvTasNet(nn.Module):
         b, t = mixture.shape
         L, hop = self.win_len, self.win_len // 2
 
-        # frame: (B, K, L)
-        k = (t - L) // hop + 1
+        # frame: (B, K, L). Ceil frame count: every input sample must land in
+        # a frame (floor would truncate up to hop-1 tail samples to silence).
+        k = max(-(-(t - L) // hop) + 1, 1) if t > L else 1
         need = (k - 1) * hop + L
-        x = mixture[:, :need]
+        x = mixture if t >= need else jnp.pad(mixture, ((0, 0), (0, need - t)))
+        x = x[:, :need]
         frames = jnp.concatenate(
             [
                 x[:, j * hop : (k + j - 1) * hop + hop].reshape(b, k, hop)

@@ -10,8 +10,6 @@ and a time-distributed projection to characters.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -34,13 +32,18 @@ class BatchRNN(nn.Module):
     # (flax's 0.99 needs ~10x more steps before eval-mode running stats work)
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, lengths=None, deterministic=True):
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn")(x)
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="fwd")(x)
+        # seq_lengths matters for the backward direction: without it the
+        # reverse scan starts inside the trailing padding and pushes
+        # padding-derived state into valid frames, making logits (and WER)
+        # depend on how much the batch happens to be padded
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), name="fwd")(
+            x, seq_lengths=lengths)
         bwd = nn.RNN(
             nn.OptimizedLSTMCell(self.hidden), reverse=True, keep_order=True, name="bwd"
-        )(x)
+        )(x, seq_lengths=lengths)
         return fwd + bwd
 
 
@@ -88,7 +91,7 @@ class DeepSpeechModel(nn.Module):
 
         for i in range(self.num_rnn_layers):
             x = BatchRNN(self.hidden_size, use_batch_norm=(i != 0), name=f"rnn_{i}")(
-                x, deterministic=deterministic
+                x, lengths=out_lens, deterministic=deterministic
             )
 
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="head_bn")(x)

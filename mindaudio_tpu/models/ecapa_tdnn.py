@@ -55,7 +55,6 @@ class Res2NetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        in_channel = x.shape[-1] // self.scale
         hidden = self.out_channels // self.scale
         chunks = jnp.split(x, self.scale, axis=-1)
         outs = [chunks[0]]

@@ -66,11 +66,16 @@ class TasNet(nn.Module):
         return est.transpose(0, 2, 1, 3)  # (B, C, K, L)
 
     def frame_waveform(self, audio):
-        """(B, T) → (B, K, L) 50%-overlap frames (pads the tail)."""
+        """(B, T) → (B, K, L) 50%-overlap frames (pads the tail).
+
+        ``k`` is the ceil frame count so every sample is covered — floor
+        division would silently drop up to ``hop - 1`` tail samples and
+        reconstruct them as silence.
+        """
         L = self.frame_len
         hop = L // 2
         b, t = audio.shape
-        k = max((t - L) // hop + 1, 1)
+        k = max(-(-(t - L) // hop) + 1, 1) if t > L else 1
         need = (k - 1) * hop + L
         if t < need:
             audio = jnp.pad(audio, ((0, 0), (0, need - t)))

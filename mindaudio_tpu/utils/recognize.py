@@ -222,7 +222,7 @@ class ASRInference:
             out.append(int(tok))
         return out, float(score)
 
-    def streaming_ctc_greedy(self, feat_chunks):
+    def streaming_ctc_greedy(self, feat_chunks, required_cache_size=-1):
         """Streaming CTC greedy over an iterable of raw-feature chunks.
 
         Each chunk is ``(1, 4*C + 3, F)`` raw frames (see
@@ -230,7 +230,9 @@ class ASRInference:
         tokens for chunk i are final when chunk i is processed. The model
         must be built with ``causal_conv=True`` and trained with chunked
         masks. New capability beyond the reference (no streaming driver
-        exists there).
+        exists there). ``required_cache_size >= 0`` caps the attention left
+        context so cache size, per-chunk cost, and the jit-shape set stay
+        bounded on long streams (see ``ConformerEncoder.forward_chunk``).
 
         Returns the collapsed token list.
         """
@@ -240,7 +242,7 @@ class ASRInference:
         for chunk in feat_chunks:
             log_probs, att_caches, cnn_caches = self.model.apply(
                 self.variables, jnp.asarray(chunk), att_caches, cnn_caches,
-                method=self.model.encode_chunk,
+                required_cache_size, method=self.model.encode_chunk,
             )
             best = np.asarray(log_probs.argmax(-1))[0]
             for tok in best.tolist():

@@ -293,3 +293,55 @@ class TestMetricRegressions:
 
         with pytest.raises(ValueError):
             wer([["a"], ["b"]], [["a"]])
+
+
+class TestDeepSpeech2PaddingInvariance:
+    def test_valid_logits_independent_of_padding(self):
+        """Backward LSTM must start at each utterance's true end, not at the
+        padded tail (review finding: batch composition changed eval logits)."""
+        import numpy as np
+
+        from mindaudio_tpu.models import DeepSpeechModel
+
+        m = DeepSpeechModel(vocab_size=29, hidden_size=32, num_rnn_layers=2)
+        rng = np.random.default_rng(0)
+        spect = jnp.asarray(rng.standard_normal((1, 50, 161)), jnp.float32)
+        var = m.init(jax.random.PRNGKey(0), spect, jnp.array([50]))
+        logits_a, lens_a = m.apply(var, spect, jnp.array([50]))
+        padded = jnp.pad(spect, ((0, 0), (0, 50), (0, 0)))
+        logits_b, _ = m.apply(var, padded, jnp.array([50]))
+        n = int(lens_a[0])
+        np.testing.assert_allclose(np.asarray(logits_a[0, :n]),
+                                   np.asarray(logits_b[0, :n]), atol=2e-5)
+
+
+class TestSeparationTailCoverage:
+    def test_tasnet_frames_cover_all_samples(self):
+        import numpy as np
+
+        from mindaudio_tpu.models import TasNet
+
+        m = TasNet(frame_len=40)
+        hop = 20
+        t = 40 + 3 * hop + (hop - 1)  # worst-case tail remainder
+        audio = jnp.asarray(np.arange(t, dtype=np.float32))[None]
+        frames = m.frame_waveform(audio)
+        k = frames.shape[1]
+        assert (k - 1) * hop + 40 >= t  # last sample falls inside a frame
+        assert float(frames[0, -1].max()) == t - 1  # tail content present
+
+    def test_conv_tasnet_reconstructs_tail(self):
+        import numpy as np
+
+        from mindaudio_tpu.models import ConvTasNet
+
+        m = ConvTasNet(enc_dim=16, win_len=40, bottleneck=8, hidden=16,
+                       num_blocks=2, num_repeats=1)
+        t = 40 + 3 * 20 + 19
+        mix = jnp.asarray(np.random.default_rng(0).standard_normal((1, t)),
+                          jnp.float32)
+        var = m.init(jax.random.PRNGKey(0), mix)
+        out = m.apply(var, mix)
+        assert out.shape[-1] == t
+        # the network sees the tail: output there is not structurally zero
+        assert float(jnp.abs(out[..., -19:]).max()) > 0

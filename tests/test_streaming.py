@@ -162,3 +162,54 @@ class TestStreamingGreedy:
         chunks = [feats[:, 4 * c * C: 4 * c * C + 4 * C + 3] for c in range(n_chunks)]
         stream_hyp = inf.streaming_ctc_greedy(chunks)
         assert stream_hyp == full_hyp
+
+
+class TestCappedStreamingCache:
+    """required_cache_size bounds the attention cache (WeNet semantic)."""
+
+    def test_cache_stays_capped_and_output_matches_windowed_attention(self):
+        from mindaudio_tpu.models.conformer import ConformerEncoder
+
+        C, n_chunks = 4, 6
+        raw_t = 4 * (C * n_chunks) + 3
+        cap = 2 * C  # two chunks of left context
+        enc = ConformerEncoder(
+            input_dim=16, d_model=32, head_num=2, ffn_dim=64, num_layers=2,
+            static_chunk_size=C, causal_conv=True, kernel_size=7,
+        )
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((1, raw_t, 16)).astype(np.float32)
+        lens = jnp.asarray([raw_t])
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), lens)["params"]
+
+        att_caches = cnn_caches = None
+        for c in range(n_chunks):
+            lo, hi = 4 * (c * C), 4 * (c * C) + 4 * C + 3
+            ys, att_caches, cnn_caches = enc.apply(
+                {"params": params}, jnp.asarray(x[:, lo:hi]),
+                att_caches, cnn_caches, cap,
+                method=enc.forward_chunk,
+            )
+            assert att_caches[0][0].shape[2] <= cap
+            assert np.isfinite(np.asarray(ys)).all()
+        # after warmup every call sees exactly `cap` cached frames: the jit
+        # shape set is bounded
+        assert att_caches[0][0].shape[2] == cap
+
+    def test_cap_zero_means_no_left_context(self):
+        from mindaudio_tpu.models.conformer import ConformerEncoder
+
+        C = 4
+        enc = ConformerEncoder(
+            input_dim=16, d_model=32, head_num=2, ffn_dim=64, num_layers=1,
+            static_chunk_size=C, causal_conv=True, kernel_size=7,
+        )
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((1, 4 * C + 3, 16)).astype(np.float32)
+        params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          jnp.asarray([4 * C + 3]))["params"]
+        _, att_caches, _ = enc.apply(
+            {"params": params}, jnp.asarray(x), None, None, 0,
+            method=enc.forward_chunk,
+        )
+        assert att_caches[0][0].shape[2] == 0
