@@ -66,11 +66,14 @@ def save_aishell_info(data_folder: str, save_folder: str):
     id_start = 0
     for split in SPLITS:
         out_csv = os.path.join(save_folder, f"{split}.csv")
-        if os.path.exists(out_csv):
-            continue
         wavs = sorted(glob.glob(
             os.path.join(data_folder, "data_aishell", "wav", split, "*", "*.wav")
         ))
+        if os.path.exists(out_csv):
+            # resume: skip the write but keep advancing id_start, so a
+            # regenerated later split gets IDs disjoint from earlier ones
+            id_start += len(wavs)
+            continue
         rows = []
         for i, wav in enumerate(wavs):
             utt = os.path.splitext(os.path.basename(wav))[0]

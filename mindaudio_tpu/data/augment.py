@@ -111,6 +111,14 @@ def convolve1d(
     (circular convolution aligned to the RIR direct path); the direct path uses
     ``np.convolve`` in 'valid' mode. Accepts 1-D/2-D/3-D inputs like the
     reference (augment.py:177), which always convolves with a single kernel.
+
+    Deliberate divergence: integer ``padding`` pads symmetrically. The
+    reference honors only tuple padding (augment.py:232 checks
+    ``isinstance(padding, tuple)``) although its own ``drop_freq`` passes an
+    int (augment.py:592-596), so there the notch filter's 50-sample group
+    delay goes uncompensated and the head of the signal wraps circularly —
+    an inherited upstream bug, not intended behavior; with the pad honored,
+    drop_freq is a proper 'same' convolution with no time shift.
     """
     waveforms = np.asarray(waveforms)
     kernel = np.asarray(kernel)
@@ -127,6 +135,9 @@ def convolve1d(
     waveforms = np.transpose(waveforms, (0, 2, 1))  # (batch, channel, time)
     kernel = np.transpose(kernel, (0, 2, 1))
 
+    unpadded_len = waveforms.shape[-1]
+    if isinstance(padding, int) and padding > 0:
+        padding = (padding, padding)
     if isinstance(padding, tuple):
         waveforms = np.pad(
             waveforms, [(0, 0), (0, 0), (padding[0], padding[-1])], mode=pad_type
@@ -144,6 +155,12 @@ def convolve1d(
         convolved = np.fft.irfft(
             np.fft.rfft(waveforms) * np.fft.rfft(kernel), n=waveforms.shape[-1]
         )
+        if isinstance(padding, tuple) and padding[0] + padding[-1] > 0 and rotation_index == 0:
+            # symmetric/explicit pad with an unrotated kernel: the linear
+            # 'same' output lives at offset left_pad + right_pad (no circular
+            # wrap reaches it) — crop back to the input length
+            off = padding[0] + padding[-1]
+            convolved = convolved[..., off : off + unpadded_len]
     else:
         # the reference path is nn.Conv1d = cross-correlation; np.convolve
         # flips its kernel internally, so pass the pre-flipped kernel once
@@ -245,6 +262,9 @@ def add_noise(samples, backgroundlist, min_snr_in_db, max_snr_in_db, mix_prob=1.
         noise_audio, _ = read(path)
         if noise_audio.ndim > 1:
             noise_audio = noise_audio.mean(axis=-1)
+        if len(noise_audio) == 0:
+            raise ValueError(f"background file {path!r} decoded to 0 samples"
+                             " (a silent skip here would loop forever)")
         if len(noise_audio) > missing:
             pieces.append(rms_normalize(noise_audio[:missing]))
             missing = 0

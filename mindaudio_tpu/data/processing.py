@@ -80,9 +80,10 @@ def unitarize(waveforms, lengths=None, amp_type="avg", eps=1e-14):
     if batch_added:
         waveforms = np.expand_dims(waveforms, 0)
     den = compute_amplitude(waveforms, lengths, amp_type) + eps
+    out = waveforms / den  # divide before un-batching: den is (B, 1)
     if batch_added:
-        waveforms = waveforms.squeeze(0)
-    return waveforms / den
+        out = out.squeeze(0)
+    return out
 
 
 def resample(
@@ -154,6 +155,11 @@ def rescale(waveforms, target_lvl, lengths=None, amp_type="avg", dB=False):
     Parity: reference processing.py:189.
     """
     assert amp_type in ("max", "avg", "peak")
+    # the reference advertises "max" but its unitarize only accepts
+    # avg/peak, so "max" crashes there (processing.py:212 vs :118); here it
+    # aliases to "peak" (the evident intent: normalize by the maximum)
+    if amp_type == "max":
+        amp_type = "peak"
     waveforms = np.asarray(waveforms)
     batch_added = waveforms.ndim == 1
     if batch_added:
@@ -194,6 +200,11 @@ def trim(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=5
     """
     waveforms = np.asarray(waveforms)
     non_silent = _frame_energy_db(waveforms, reference, frame_length, hop_length) > -top_db
+    if not non_silent.any():
+        # entirely silent (librosa returns an empty trim; indexing edges[0]
+        # on the empty transition list would IndexError)
+        index = np.array([0, 0])
+        return waveforms[:0], index
     edges = np.flatnonzero(np.diff(non_silent.astype(int))) + 1
 
     start = 0 if non_silent[0] else edges[0]
@@ -232,31 +243,34 @@ def sliding_window_cmn(x, cmn_window=600, min_cmn_window=100, center=False, norm
         x = x[None]
     flat = x.reshape((-1,) + x.shape[-2:])
     num_frames = flat.shape[-2]
-    out = np.empty_like(flat)
 
-    for t in range(num_frames):
-        if center:
-            ws = t - cmn_window // 2
-            we = ws + cmn_window
-        else:
-            ws = t - cmn_window
-            we = t + 1
-        if ws < 0:
-            we -= ws
-            ws = 0
-        if not center:
-            if we > t:
-                we = max(t + 1, min_cmn_window)
-        if we > num_frames:
-            ws -= we - num_frames
-            we = num_frames
-            ws = max(ws, 0)
-        window = flat[:, ws:we, :]
-        mean = window.mean(axis=1)
-        out[:, t, :] = flat[:, t, :] - mean
-        if norm_vars:
-            var = (window**2).mean(axis=1) - mean**2
-            out[:, t, :] /= np.sqrt(np.maximum(var, 1e-10))
+    # per-frame window bounds are data-independent: compute them vectorized,
+    # then window sums via prefix sums — O(T·F) instead of the naive
+    # per-frame O(T·W·F) rescan (same kaldi edge-clamping logic)
+    t = np.arange(num_frames)
+    if center:
+        ws = t - cmn_window // 2
+        we = ws + cmn_window
+    else:
+        ws = t - cmn_window
+        we = t + 1
+    we = np.where(ws < 0, we - ws, we)
+    ws = np.maximum(ws, 0)
+    if not center:
+        we = np.where(we > t, np.maximum(t + 1, min_cmn_window), we)
+    over = np.maximum(we - num_frames, 0)
+    ws = np.maximum(ws - over, 0)
+    we = np.minimum(we, num_frames)
+    counts = (we - ws).astype(np.float64)[None, :, None]
+
+    zeros = np.zeros_like(flat[:, :1, :])
+    csum = np.concatenate([zeros, np.cumsum(flat, axis=1)], axis=1)
+    mean = (csum[:, we, :] - csum[:, ws, :]) / counts
+    out = flat - mean
+    if norm_vars:
+        csq = np.concatenate([zeros, np.cumsum(flat**2, axis=1)], axis=1)
+        var = (csq[:, we, :] - csq[:, ws, :]) / counts - mean**2
+        out /= np.sqrt(np.maximum(var, 1e-10))
 
     return out.reshape(orig_shape).astype(np.float32)
 

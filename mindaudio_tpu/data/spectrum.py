@@ -126,11 +126,6 @@ def stft(
     if hop_length is None:
         hop_length = win_length // 4
 
-    if n_fft > waveforms.shape[-1]:
-        raise ValueError(
-            f"n_fft={n_fft} is too small for input signal of length={waveforms.shape[-1]}"
-        )
-
     fft_window = get_window(window, win_length, fftbins=True)
     fft_window = _pad_center(fft_window, n_fft)
 
@@ -138,6 +133,15 @@ def stft(
         padding = [(0, 0)] * waveforms.ndim
         padding[-1] = (n_fft // 2, n_fft // 2)
         waveforms = np.pad(waveforms, padding, mode=pad_mode)
+
+    # check AFTER center padding: librosa-convention centered analysis pads
+    # a short clip up to a full frame (e.g. features.harmonic's n_fft=2048
+    # on sub-0.13 s audio) and must succeed
+    if n_fft > waveforms.shape[-1]:
+        raise ValueError(
+            f"n_fft={n_fft} is too large for input signal of "
+            f"length={waveforms.shape[-1]}"
+        )
 
     frames = np.lib.stride_tricks.sliding_window_view(waveforms, n_fft, axis=-1)
     n_frames = (waveforms.shape[-1] - n_fft) // hop_length + 1

@@ -125,3 +125,41 @@ class TestAugment:
         f_shift = spec_shift[20:200].argmax() + 20
         ratio = f_shift / f_orig
         assert 1.15 < ratio < 1.40  # 2^(4/12) ≈ 1.26
+
+
+class TestAugmentReviewRegressions:
+    def test_drop_freq_is_same_convolution(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.augment import drop_freq
+
+        x = np.zeros((1, 2000), np.float32)
+        x[0, 1000] = 1.0
+        y = drop_freq(x, rng=np.random.default_rng(0))
+        assert y.shape == x.shape
+        assert abs(int(np.abs(y[0]).argmax()) - 1000) <= 1  # no group delay
+
+    def test_convolve1d_int_padding_same_length(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.augment import convolve1d
+
+        k = np.zeros(101, np.float32)
+        k[50] = 1.0
+        sig = np.random.default_rng(0).standard_normal(500).astype(np.float32)
+        out_fft = convolve1d(sig, k, padding=50, use_fft=True)
+        out_direct = convolve1d(sig, k, padding=50, use_fft=False)
+        assert out_fft.shape == out_direct.shape == (500,)
+        np.testing.assert_allclose(out_fft, sig, atol=1e-6)  # identity kernel
+
+    def test_add_noise_rejects_empty_background(self, tmp_path):
+        import numpy as np
+
+        from mindaudio_tpu.data import io
+        from mindaudio_tpu.data.augment import add_noise
+
+        empty = tmp_path / "empty.wav"
+        io.write(str(empty), np.zeros(0, np.float32), 16000)
+        sig = np.random.default_rng(0).standard_normal((1, 1600)).astype(np.float32)
+        with pytest.raises(ValueError, match="0 samples"):
+            add_noise(sig, [str(empty)], 10, 10)

@@ -115,3 +115,47 @@ def test_overlap_add():
     ov = processing.overlap_and_add(ones, 4)
     assert ov.shape == (2, 3 * 4 + 8)
     np.testing.assert_allclose(ov[0, 4:12], 2.0)
+
+
+class TestDataReviewRegressions:
+    def test_unitarize_preserves_1d_shape(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.processing import unitarize
+
+        x = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+        out = unitarize(x)
+        assert out.shape == (1000,)
+
+    def test_rescale_max_aliases_peak(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.processing import rescale
+
+        x = np.random.default_rng(0).standard_normal(512).astype(np.float32)
+        out = rescale(x, 0.5, amp_type="max")
+        assert abs(float(np.max(np.abs(out))) - 0.5) < 1e-5
+
+    def test_trim_all_silent_returns_empty(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.processing import trim
+
+        quiet = (np.random.default_rng(0).standard_normal(8192) * 1e-6).astype(np.float32)
+        trimmed, idx = trim(quiet, reference=1.0)
+        assert trimmed.size == 0 and idx.tolist() == [0, 0]
+
+    def test_sliding_window_cmn_matches_loop_oracle(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.processing import sliding_window_cmn
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((700, 13)).astype(np.float32)
+        out = sliding_window_cmn(x, cmn_window=100, center=True, norm_vars=True)
+        # oracle at one probe frame: window [t-50, t+50)
+        t = 300
+        win = x[250:350].astype(np.float64)
+        mean, var = win.mean(0), (win.astype(np.float64) ** 2).mean(0) - win.mean(0) ** 2
+        expect = (x[t] - mean) / np.sqrt(np.maximum(var, 1e-10))
+        np.testing.assert_allclose(out[t], expect, atol=1e-5)

@@ -132,3 +132,23 @@ class TestSpectrum:
         f = spectrum.frame(x, frame_length=10, hop_length=5)
         assert f.shape == (10, 19)
         np.testing.assert_allclose(f[:, 1], np.arange(5.0, 15.0))
+
+
+class TestShortSignalCenteredStft:
+    def test_short_clip_with_center_padding_succeeds(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.spectrum import stft
+
+        x = np.random.default_rng(0).standard_normal(300).astype(np.float32)
+        S = stft(x, n_fft=512)  # center=True pads to a full frame
+        assert S.shape[0] == 257 and np.isfinite(S).all()
+
+    def test_uncentered_short_clip_still_rejected(self):
+        import numpy as np
+
+        from mindaudio_tpu.data.spectrum import stft
+
+        x = np.zeros(300, np.float32)
+        with pytest.raises(ValueError, match="too large"):
+            stft(x, n_fft=512, center=False)
