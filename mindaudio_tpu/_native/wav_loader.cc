@@ -29,8 +29,11 @@ struct Result {
 };
 
 static inline uint32_t rd_u32(const uint8_t* p, bool big) {
-  return big ? (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
-             : (p[3] << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
+  // cast before shifting: p[i] << 24 on a promoted int is UB for bytes >= 0x80
+  return big ? ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+                   ((uint32_t)p[2] << 8) | p[3]
+             : ((uint32_t)p[3] << 24) | ((uint32_t)p[2] << 16) |
+                   ((uint32_t)p[1] << 8) | p[0];
 }
 static inline uint16_t rd_u16(const uint8_t* p, bool big) {
   return big ? (uint16_t)((p[0] << 8) | p[1]) : (uint16_t)((p[1] << 8) | p[0]);
@@ -68,7 +71,8 @@ Result decode_wav(const char* path, float* out, int64_t max_len) {
   while (pos + 8 <= (size_t)fsize) {
     const uint8_t* hdr = buf.data() + pos;
     uint32_t size = rd_u32(hdr + 4, big);
-    if (std::memcmp(hdr, "fmt ", 4) == 0 && pos + 8 + 16 <= (size_t)fsize) {
+    if (std::memcmp(hdr, "fmt ", 4) == 0 && size >= 16 &&
+        pos + 8 + 16 <= (size_t)fsize) {
       const uint8_t* p = hdr + 8;
       fmt_code = rd_u16(p, big);
       channels = rd_u16(p + 2, big);
@@ -85,7 +89,9 @@ Result decode_wav(const char* path, float* out, int64_t max_len) {
       if (pos + 8 + data_len > (size_t)fsize) data_len = (uint32_t)(fsize - pos - 8);
       break;
     }
-    pos += 8 + size + (size & 1); // chunks are word-aligned
+    // 64-bit advance: a crafted size near UINT32_MAX would wrap a 32-bit sum
+    // to 0 and spin this loop (deadlocking the whole batch decode)
+    pos += 8 + (size_t)size + (size & 1); // chunks are word-aligned
   }
   if (!data || channels == 0 || bits == 0) return res;
 

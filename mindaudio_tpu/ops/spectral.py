@@ -37,28 +37,48 @@ from .filterbanks import (
     melscale_fbanks,
 )
 
-# DSP parity ops run the MXU in full-f32 (3-pass bf16) mode: feature extraction
-# feeds CMVN statistics and golden tests, where bf16-default matmul error
-# (~2e-3 relative) is visible. Model matmuls elsewhere use the default.
-# DFT/mel matmul precision. HIGHEST (6 bf16 MXU passes) keeps features
-# golden-comparable to the f32 host layer; feature extraction is a small
+# DSP parity ops run the MXU in full-f32 (6-pass bf16) mode by default:
+# feature extraction feeds CMVN statistics and golden tests, where
+# bf16-default matmul error (~2e-3 relative) is visible, and it is a small
 # fraction of a training step (measured: ~equal step time vs relaxed
-# precision on the 46M conformer), so the safe default costs little.
+# precision on the 46M conformer). Model matmuls elsewhere use the default.
 _PRECISION = jax.lax.Precision.HIGHEST
+
+_PRECISION_LEVELS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def set_precision(level: str):
-    """Set DFT/mel matmul precision: "default" | "high" | "highest".
+    """Set the module default DFT/mel matmul precision:
+    "default" | "high" | "highest".
 
-    Must be called BEFORE the first call of the jitted ops in this module —
-    they capture the value at trace time and later changes do not retrace.
+    Takes effect on the *next* call of any op in this module (precision is a
+    static jit argument, so changing it retraces — no stale-cache footgun).
+    Per-call override: every public op also accepts ``precision=``.
     """
     global _PRECISION
-    _PRECISION = {
-        "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[level]
+    _PRECISION = _PRECISION_LEVELS[level]
+
+
+def _resolve_precision(precision):
+    if precision is None:
+        return _PRECISION
+    if isinstance(precision, str):
+        return _PRECISION_LEVELS[precision]
+    return precision
+
+
+def _precision_aware(jitted):
+    """Bind ``precision`` at call time (not trace time) as a static jit arg."""
+
+    @functools.wraps(jitted)
+    def wrapper(*args, precision=None, **kwargs):
+        return jitted(*args, precision=_resolve_precision(precision), **kwargs)
+
+    return wrapper
 
 __all__ = [
     "dft_matrices",
@@ -151,10 +171,12 @@ def _pad_signal(x, n_fft, hop_length, center, pad_mode):
     return x
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_fft", "win_length", "hop_length", "window", "center", "pad_mode",
+        "precision",
     ),
 )
 def stft(
@@ -165,6 +187,7 @@ def stft(
     window="hann",
     center=True,
     pad_mode="constant",
+    precision=None,
 ):
     """On-device STFT returning ``(real, imag)`` stacked on the last axis:
     ``(..., n_freq, n_frames, 2)``.
@@ -179,15 +202,15 @@ def stft(
     frames = frame_signal(x, n_fft, hop_length, n_frames)
 
     wr, wi = (jnp.asarray(m) for m in dft_matrices(n_fft, win_length, window, hop_length))
-    real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=_PRECISION)
-    imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=_PRECISION)
+    real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=precision)
+    imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=precision)
     # (..., n_frames, n_freq) -> (..., n_freq, n_frames, 2)
     return jnp.stack(
         (jnp.swapaxes(real, -1, -2), jnp.swapaxes(imag, -1, -2)), axis=-1
     )
 
 
-def _power_frames(waveforms, n_fft, win_length, hop_length, window, center, pad_mode, power, compute_dtype=jnp.float32):
+def _power_frames(waveforms, n_fft, win_length, hop_length, window, center, pad_mode, power, precision, compute_dtype=jnp.float32):
     """Shared power-spectrum core: ``(..., n_frames, n_freq)`` (time-major)."""
     n_frames = _num_frames(waveforms.shape[-1], n_fft, hop_length, center)
     x = _pad_signal(waveforms, n_fft, hop_length, center, pad_mode)
@@ -196,8 +219,8 @@ def _power_frames(waveforms, n_fft, win_length, hop_length, window, center, pad_
         jnp.asarray(m)
         for m in dft_matrices(n_fft, win_length, window, hop_length, str(np.dtype(compute_dtype)))
     )
-    real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=_PRECISION)
-    imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=_PRECISION)
+    real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=precision)
+    imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=precision)
     p = real * real + imag * imag
     if power == 2.0:
         return p
@@ -206,11 +229,12 @@ def _power_frames(waveforms, n_fft, win_length, hop_length, window, center, pad_
     return jnp.power(jnp.maximum(p, 1e-30), power / 2.0)
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_fft", "win_length", "hop_length", "pad", "window", "power",
-        "normalized", "center", "pad_mode",
+        "normalized", "center", "pad_mode", "precision",
     ),
 )
 def spectrogram(
@@ -224,6 +248,7 @@ def spectrogram(
     normalized=False,
     center=True,
     pad_mode="reflect",
+    precision=None,
 ):
     """On-device torchaudio-convention spectrogram: ``(..., n_freq, n_frames)``.
 
@@ -234,7 +259,8 @@ def spectrogram(
     if pad > 0:
         waveforms = jnp.pad(waveforms, [(0, 0)] * (waveforms.ndim - 1) + [(pad, pad)])
     p = _power_frames(
-        waveforms, n_fft, win_length, hop_length, window, center, pad_mode, power
+        waveforms, n_fft, win_length, hop_length, window, center, pad_mode,
+        power, precision,
     )
     if normalized:
         w = get_window(window, win_length, fftbins=True)
@@ -242,13 +268,15 @@ def spectrogram(
     return jnp.swapaxes(p, -1, -2)
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
-    static_argnames=("n_mels", "sample_rate", "f_min", "f_max", "n_stft", "norm", "mel_type"),
+    static_argnames=("n_mels", "sample_rate", "f_min", "f_max", "n_stft",
+                     "norm", "mel_type", "precision"),
 )
 def melscale(
     spec, n_mels=128, sample_rate=16000, f_min=0.0, f_max=None, n_stft=201,
-    norm=None, mel_type="htk",
+    norm=None, mel_type="htk", precision=None,
 ):
     """Project ``(..., n_freq, time)`` onto ``(..., n_mels, time)`` on device."""
     f_max = f_max if f_max is not None else sample_rate // 2
@@ -258,14 +286,16 @@ def melscale(
                         mel_scale=mel_type)
     )
     return jnp.swapaxes(jnp.matmul(jnp.swapaxes(spec, -1, -2), fb,
-                                   preferred_element_type=jnp.float32, precision=_PRECISION), -1, -2)
+                                   preferred_element_type=jnp.float32, precision=precision), -1, -2)
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_fft", "win_length", "hop_length", "window", "power", "center",
-        "pad_mode", "n_mels", "sample_rate", "f_min", "f_max", "norm", "mel_type",
+        "pad_mode", "n_mels", "sample_rate", "f_min", "f_max", "norm",
+        "mel_type", "precision",
     ),
 )
 def melspectrogram(
@@ -283,6 +313,7 @@ def melspectrogram(
     f_max=None,
     norm=None,
     mel_type="htk",
+    precision=None,
 ):
     """Fused on-device mel spectrogram ``(..., n_mels, n_frames)``.
 
@@ -293,7 +324,8 @@ def melspectrogram(
     win_length = win_length or n_fft
     hop_length = hop_length or win_length // 2
     p = _power_frames(
-        waveforms, n_fft, win_length, hop_length, window, center, pad_mode, power
+        waveforms, n_fft, win_length, hop_length, window, center, pad_mode,
+        power, precision,
     )
     f_max = f_max if f_max is not None else sample_rate // 2
     fb = jnp.asarray(
@@ -301,7 +333,7 @@ def melspectrogram(
                         norm=None if norm in (None, "none") else norm,
                         mel_scale=mel_type)
     )
-    mel = jnp.matmul(p, fb, preferred_element_type=jnp.float32, precision=_PRECISION)
+    mel = jnp.matmul(p, fb, preferred_element_type=jnp.float32, precision=precision)
     return jnp.swapaxes(mel, -1, -2)
 
 
@@ -323,11 +355,13 @@ def amplitude_to_db(spec, stype="power", ref=1.0, amin=1e-10, top_db=80.0):
     return db
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_mels", "n_fft", "sample_rate", "f_min", "f_max", "win_length",
-        "hop_length", "window", "deltas", "context", "left_frames", "right_frames",
+        "hop_length", "window", "deltas", "context", "left_frames",
+        "right_frames", "precision",
     ),
 )
 def fbank(
@@ -344,6 +378,7 @@ def fbank(
     win_length=None,
     hop_length=None,
     window="hann",
+    precision=None,
 ):
     """Fused on-device log-mel filterbank features ``(..., freq, time)``.
 
@@ -360,6 +395,7 @@ def fbank(
         sample_rate=sample_rate,
         f_min=f_min,
         f_max=f_max,
+        precision=precision,
     )
     out = amplitude_to_db(mel)
     if deltas:
@@ -371,12 +407,13 @@ def fbank(
     return out
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_mels", "n_mfcc", "n_fft", "sample_rate", "f_min", "f_max",
         "win_length", "hop_length", "norm", "log_mels", "deltas", "context",
-        "left_frames", "right_frames",
+        "left_frames", "right_frames", "precision",
     ),
 )
 def mfcc(
@@ -395,6 +432,7 @@ def mfcc(
     hop_length=None,
     norm="ortho",
     log_mels=False,
+    precision=None,
 ):
     """On-device MFCCs ``(..., n_mfcc[*3][*ctx], time)`` (reference features.py:273)."""
     mel = melspectrogram(
@@ -406,6 +444,7 @@ def mfcc(
         sample_rate=sample_rate,
         f_min=f_min,
         f_max=f_max,
+        precision=precision,
     )
     if log_mels:
         mel = jnp.log(mel + 1e-6)
@@ -413,7 +452,7 @@ def mfcc(
         mel = amplitude_to_db(mel)
     dct = jnp.asarray(create_dct(n_mfcc=n_mfcc, n_mels=n_mels, norm=norm))
     out = jnp.swapaxes(
-        jnp.matmul(jnp.swapaxes(mel, -1, -2), dct, preferred_element_type=jnp.float32, precision=_PRECISION),
+        jnp.matmul(jnp.swapaxes(mel, -1, -2), dct, preferred_element_type=jnp.float32, precision=precision),
         -1, -2,
     )
     if deltas:
@@ -425,11 +464,12 @@ def mfcc(
     return out
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_mel_bins", "frame_length_ms", "frame_shift_ms", "sample_rate",
-        "dither", "preemphasis", "remove_dc", "window",
+        "dither", "preemphasis", "remove_dc", "window", "precision",
     ),
 )
 def kaldi_fbank(
@@ -443,6 +483,7 @@ def kaldi_fbank(
     remove_dc=True,
     window="povey",
     rng_key=None,
+    precision=None,
 ):
     """Kaldi-convention log-mel fbank, as used by the reference conformer recipe
     (examples/conformer/dataset.py:142-157: povey window, preemphasis 0.97,
@@ -479,15 +520,15 @@ def kaldi_fbank(
     wr_np, wi_np = _raw_dft(n_fft)
     wr = jnp.asarray(wr_np, jnp.float32)
     wi = jnp.asarray(wi_np, jnp.float32)
-    real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=_PRECISION)
-    imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=_PRECISION)
+    real = jnp.matmul(frames, wr, preferred_element_type=jnp.float32, precision=precision)
+    imag = jnp.matmul(frames, wi, preferred_element_type=jnp.float32, precision=precision)
     power = real * real + imag * imag
 
     # kaldi mel banks: triangles evaluated in the mel domain over
     # [20, nyquist] (filterbanks.kaldi_mel_banks — NOT the torchaudio-style
     # linear-in-Hz melscale_fbanks, whose weights differ from kaldi's)
     fb = jnp.asarray(kaldi_mel_banks(num_mel_bins, n_fft, sample_rate))
-    mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32, precision=_PRECISION)
+    mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32, precision=precision)
     return jnp.log(jnp.maximum(mel, 1.1920928955078125e-07))
 
 
@@ -604,9 +645,11 @@ def sliding_window_cmn(x, cmn_window=600, min_cmn_window=100, center=False,
     return out.astype(orig_dtype)
 
 
+@_precision_aware
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "win_length", "hop_length", "window", "center", "length"),
+    static_argnames=("n_fft", "win_length", "hop_length", "window", "center",
+                     "length", "precision"),
 )
 def istft(
     stft_ri,
@@ -616,6 +659,7 @@ def istft(
     window="hann",
     center=True,
     length=None,
+    precision=None,
 ):
     """On-device inverse STFT (window-sum-square-normalized overlap-add).
 
@@ -646,8 +690,8 @@ def istft(
     real = jnp.swapaxes(stft_ri[..., 0], -1, -2)  # (..., n_frames, n_freq)
     imag = jnp.swapaxes(stft_ri[..., 1], -1, -2)
     frames = (
-        jnp.matmul(real, cr.T, preferred_element_type=jnp.float32, precision=_PRECISION)
-        + jnp.matmul(imag, ci.T, preferred_element_type=jnp.float32, precision=_PRECISION)
+        jnp.matmul(real, cr.T, preferred_element_type=jnp.float32, precision=precision)
+        + jnp.matmul(imag, ci.T, preferred_element_type=jnp.float32, precision=precision)
     )  # (..., n_frames, n_fft)
 
     win = np.zeros(n_fft, np.float32)

@@ -103,8 +103,7 @@ def average_checkpoints(directory, steps: Sequence[int], target=None):
             )
     n = float(len(steps))
     return jax.tree_util.tree_map(
-        lambda a, dt: (a / n).astype(np.float32 if dt == np.float64 else dt)
-        if _averaged(dt) else a,
+        lambda a, dt: (a / n).astype(dt) if _averaged(dt) else a,
         acc, orig_dtypes,
     )
 

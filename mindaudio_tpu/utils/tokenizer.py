@@ -93,11 +93,14 @@ def _main():
 
     texts = []
     with open(args.input, encoding="utf-8") as f:
-        head = f.readline()
-        f.seek(0)
-        if "," in head and args.column in head:
-            texts = [row[args.column] for row in csv.DictReader(f)]
+        # CSV iff csv.DictReader actually finds the transcript column in the
+        # header; a plain-text transcript whose first line contains a comma
+        # (or the column word) must not be parsed as CSV
+        reader = csv.DictReader(f)
+        if reader.fieldnames and args.column in reader.fieldnames:
+            texts = [row[args.column] for row in reader if row.get(args.column)]
         else:
+            f.seek(0)
             texts = [line.strip() for line in f if line.strip()]
     tok = CharTokenizer.from_transcripts(texts)
     tok.save(args.output)

@@ -51,3 +51,28 @@ class TestNativeWavLoader:
         batch, lens, rates = native.wav_read_batch([str(bad), str(good)], 200)
         assert rates[0] == 0 and rates[1] == 8000
         assert lens[1] == 100
+
+    def test_crafted_chunk_size_does_not_hang(self, native, tmp_path):
+        # a chunk whose declared size is near UINT32_MAX used to wrap the
+        # 32-bit chunk-walk advance to 0 and spin the decode loop forever
+        import struct
+
+        evil = tmp_path / "evil.wav"
+        body = b"JUNK" + struct.pack("<I", 0xFFFFFFF8) + b"\x00" * 32
+        evil.write_bytes(b"RIFF" + struct.pack("<I", 36 + len(body)) +
+                         b"WAVE" + body)
+        batch, lens, rates = native.wav_read_batch([str(evil)], 100)
+        assert rates[0] == 0  # flagged as error, batch not deadlocked
+
+    def test_undersized_fmt_chunk_rejected(self, native, tmp_path):
+        # fmt chunk declaring size 4 must not read channels/rate/bits from
+        # the following chunk's bytes
+        import struct
+
+        p = tmp_path / "shortfmt.wav"
+        fmt = b"fmt " + struct.pack("<I", 4) + struct.pack("<HH", 1, 1)
+        data = b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        blob = b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data)) + b"WAVE" + fmt + data
+        p.write_bytes(blob)
+        batch, lens, rates = native.wav_read_batch([str(p)], 100)
+        assert rates[0] == 0
