@@ -34,7 +34,11 @@ from mindaudio_tpu.parallel.shardings import state_shardings
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
-from mindaudio_tpu.train.state import TrainState, skip_nonfinite_update
+from mindaudio_tpu.train.state import (
+    TrainState,
+    clip_by_global_norm,
+    skip_nonfinite_update,
+)
 from mindaudio_tpu.scheduler.schedules import asr_warmup_lr
 from mindaudio_tpu.utils.cmvn import load_cmvn
 from mindaudio_tpu.utils.tokenizer import CharTokenizer
@@ -119,11 +123,9 @@ def make_step(cfg, model, mesh, st_sh):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        grads, gnorm = clip_by_global_norm(grads, cfg.optim.grad_clip)
         new_state = skip_nonfinite_update(
-            state, state.apply_gradients(grads=grads), loss
+            state, state.apply_gradients(grads=grads), loss, grads=grads
         )
         return new_state, dict(metrics, loss=loss, grad_norm=gnorm)
 

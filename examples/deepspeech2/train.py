@@ -30,7 +30,11 @@ from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
-from mindaudio_tpu.train.state import TrainState
+from mindaudio_tpu.train.state import (
+    TrainState,
+    clip_by_global_norm,
+    skip_nonfinite_update,
+)
 
 from dataset import BLANK_ID, HOP, LABELS, N_FFT, batch_iterator
 
@@ -67,12 +71,12 @@ def make_step(cfg, model, mesh, st_sh):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=new_stats)
-        return state, {"loss": loss, "grad_norm": gnorm}
+        grads, gnorm = clip_by_global_norm(grads, cfg.optim.grad_clip)
+        new_state = state.apply_gradients(grads=grads)
+        new_state = new_state.replace(batch_stats=new_stats)
+        # batch_stats revert too on a non-finite batch (they sit in the state)
+        new_state = skip_nonfinite_update(state, new_state, loss, grads=grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())

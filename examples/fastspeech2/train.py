@@ -27,7 +27,11 @@ from mindaudio_tpu.scheduler.schedules import exponential_decay_lr
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
-from mindaudio_tpu.train.state import TrainState
+from mindaudio_tpu.train.state import (
+    TrainState,
+    clip_by_global_norm,
+    skip_nonfinite_update,
+)
 
 from dataset import batch_iterator
 from text import vocab_size
@@ -96,10 +100,11 @@ def main():
         (loss, aux), grads = jax.value_and_grad(apply_loss, has_aux=True)(
             state.params, batch, rng
         )
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        return state.apply_gradients(grads=grads), dict(aux, loss=loss)
+        grads, gnorm = clip_by_global_norm(grads, cfg.optim.grad_clip)
+        new_state = skip_nonfinite_update(
+            state, state.apply_gradients(grads=grads), loss, grads=grads
+        )
+        return new_state, dict(aux, loss=loss, grad_norm=gnorm)
 
     step_fn = jax.jit(step, in_shardings=(repl, data_sh),
                       out_shardings=(repl, repl), donate_argnums=(0,))

@@ -29,7 +29,11 @@ from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
-from mindaudio_tpu.train.state import TrainState
+from mindaudio_tpu.train.state import (
+    TrainState,
+    clip_by_global_norm,
+    skip_nonfinite_update,
+)
 
 
 def build_model(cfg):
@@ -82,10 +86,11 @@ def main():
 
     def step(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        return state.apply_gradients(grads=grads), {"loss": loss, "grad_norm": gnorm}
+        grads, gnorm = clip_by_global_norm(grads, cfg.optim.grad_clip)
+        new_state = skip_nonfinite_update(
+            state, state.apply_gradients(grads=grads), loss, grads=grads
+        )
+        return new_state, {"loss": loss, "grad_norm": gnorm}
 
     step_fn = jax.jit(step, in_shardings=(repl, data_sh),
                       out_shardings=(repl, repl), donate_argnums=(0,))

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state as flax_train_state
 
-__all__ = ["TrainState", "make_train_step"]
+__all__ = ["TrainState", "make_train_step", "clip_by_global_norm",
+           "skip_nonfinite_update"]
 
 
 class TrainState(flax_train_state.TrainState):
@@ -38,6 +39,21 @@ def create_train_state(model, params, tx, batch_stats=None, dropout_rng=None):
     )
 
 
+def clip_by_global_norm(grads, max_norm):
+    """Scale ``grads`` so their global norm is at most ``max_norm``.
+
+    Returns ``(clipped_grads, global_norm)``. A non-finite norm zeroes the
+    scale instead of propagating ``clip / inf = 0`` times an inf grad as a
+    silent NaN — but ``0 * inf`` is still NaN on the overflowed leaves, so
+    callers must pair this with ``skip_nonfinite_update(..., grads=grads)``
+    (the reference's gradient-overflow skip, utils/train_one_step.py:44-46).
+    """
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    scale = jnp.where(jnp.isfinite(scale), scale, 0.0)
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm
+
+
 def skip_nonfinite_update(old_state, new_state, loss, grads=None):
     """Keep the old state when loss/grads went non-finite.
 
@@ -53,9 +69,16 @@ def skip_nonfinite_update(old_state, new_state, loss, grads=None):
         leaves_ok = [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
         if leaves_ok:
             ok = jnp.logical_and(ok, jnp.stack(leaves_ok).all())
-    return jax.tree_util.tree_map(
+    merged = jax.tree_util.tree_map(
         lambda n, o: jnp.where(ok, n, o), new_state, old_state
     )
+    # a skipped batch still consumes a step (like the reference, where the
+    # overflow branch returns without calling the optimizer but Model.train's
+    # step count advances): the LR schedule and per-step rng folds stay
+    # aligned with data consumption
+    if hasattr(merged, "step") and hasattr(merged, "replace"):
+        merged = merged.replace(step=new_state.step)
+    return merged
 
 
 def make_train_step(
@@ -90,9 +113,7 @@ def make_train_step(
         (loss, aux), grads = grad_fn(state.params, state, batch, rng)
 
         if grad_clip_norm is not None:
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            grads, gnorm = clip_by_global_norm(grads, grad_clip_norm)
             aux = dict(aux, grad_norm=gnorm)
 
         new_state = state.apply_gradients(grads=grads)

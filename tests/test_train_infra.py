@@ -134,6 +134,62 @@ class TestTrainStep:
         state3, metrics = step(state2, bad)
         np.testing.assert_array_equal(np.asarray(state3.params["w"]), w_before)
 
+    def test_backward_only_overflow_skipped(self):
+        """Finite loss + inf grads (the round-1 hole): params must not move.
+
+        A loss that is finite in the forward pass can still overflow in the
+        backward pass; the reference catches this with a FloatStatus check on
+        the *gradients* (reference utils/train_one_step.py:44-46).
+        """
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from mindaudio_tpu.train.state import TrainState, make_train_step
+
+        @jax.custom_vjp
+        def finite_fwd_inf_bwd(w):
+            return (w**2).sum()
+
+        def _fwd(w):
+            return finite_fwd_inf_bwd(w), w
+
+        def _bwd(w, g):
+            return (jnp.full_like(w, jnp.inf),)
+
+        finite_fwd_inf_bwd.defvjp(_fwd, _bwd)
+
+        def loss_fn(params, state, batch, rng):
+            return finite_fwd_inf_bwd(params["w"]), {}
+
+        params = {"w": jnp.ones((4,))}
+        state = TrainState.create(apply_fn=None, params=params,
+                                  tx=optax.sgd(0.1))
+        step = make_train_step(loss_fn, grad_clip_norm=1.0, donate=False)
+        new_state, metrics = step(state, {"x": jnp.ones(())})
+        assert np.isfinite(float(metrics["loss"]))  # forward was fine
+        np.testing.assert_array_equal(np.asarray(new_state.params["w"]),
+                                      np.ones(4))
+        assert int(new_state.step) == 1  # the step counter still advances
+
+    def test_clip_by_global_norm_guards_nonfinite(self):
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.train.state import clip_by_global_norm
+
+        g = {"a": jnp.asarray([3.0, 4.0])}
+        clipped, gnorm = clip_by_global_norm(g, 1.0)
+        assert float(gnorm) == pytest.approx(5.0)
+        np.testing.assert_allclose(np.asarray(clipped["a"]),
+                                   [0.6, 0.8], rtol=1e-5)
+
+        g_inf = {"a": jnp.asarray([jnp.inf, 1.0]), "b": jnp.asarray([2.0])}
+        clipped, gnorm = clip_by_global_norm(g_inf, 1.0)
+        assert not np.isfinite(float(gnorm))
+        # finite leaves are zeroed (scale 0), inf leaf is NaN — either way
+        # skip_nonfinite_update(grads=...) then rejects the update
+        np.testing.assert_array_equal(np.asarray(clipped["b"]), [0.0])
+
 
 class TestPrefetch:
     def test_order_and_transform(self):
