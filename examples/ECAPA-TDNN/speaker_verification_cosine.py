@@ -2,9 +2,16 @@
 
 Counterpart of reference
 ``examples/ECAPA-TDNN/speaker_verification_cosine.py`` (``eval_impl`` :746,
-``evaluate2`` :572, ``emb_mean`` :656, EER :632): embed enrol/test
-utterances with the trained EcapaTDNN, score verification pairs by cosine,
-optionally apply adaptive s-norm over a training cohort, report EER.
+``evaluate2`` :572, ``emb_mean`` :656, EER :632): embed enrol/test utterances
+with the trained EcapaTDNN, score verification pairs by cosine, optionally
+apply adaptive s-norm, report EER.
+
+Full-utterance eval: utterances are embedded at their natural length —
+bucketed into a bounded set of padded lengths (one jit cache entry per
+bucket) with length-masked statistics pooling — matching the reference's
+whole-utterance scoring rather than a fixed crop. The s-norm cohort is built
+from *training* utterances (the reference's train_data cohort,
+speaker_verification_cosine.py:656-668), not from the trial sides.
 
 Usage: python speaker_verification_cosine.py
 """
@@ -24,46 +31,116 @@ from mindaudio_tpu.metric.eer import get_eer
 from mindaudio_tpu.train.checkpoint import restore_checkpoint
 from mindaudio_tpu.train.config import get_config
 
-from dataset import SAMPLE_RATE, read_segments
+from dataset import SAMPLE_RATE, load_segment, read_segments
 from mindaudio_tpu.data import io
 from train_speaker_embeddings import SpeakerNet, extract_features
 
+BUCKET_STEP = 2 * SAMPLE_RATE   # pad lengths up to a multiple of 2 s
+MAX_LEN = 40 * SAMPLE_RATE      # truncate pathological outliers at 40 s
+BATCH = 16
 
-def embed_utterances(model, variables, csv_path, cfg, seg_len):
-    """utt-id → L2-normalized embedding (fixed-length center crop/pad)."""
+
+def _bucket_len(n: int) -> int:
+    n = min(max(n, 1), MAX_LEN)
+    return min(-(-n // BUCKET_STEP) * BUCKET_STEP, MAX_LEN)
+
+
+def make_embed_fn(model, variables, cfg):
+    """Returns embed(wavs (B, L), wav_lens (B,)) → unit-norm embeddings.
+
+    jit caches one executable per bucketed (B, L) shape; the bucket grid keeps
+    that set small.
+    """
 
     @jax.jit
-    def run(wavs):
-        feats = extract_features(wavs, n_mels=int(cfg.features.n_mels))
-        emb, _ = model.apply(variables, feats, deterministic=True)
+    def run(wavs, wav_lens):
+        feats, feat_lens = extract_features(
+            wavs, n_mels=int(cfg.features.n_mels), wav_lens=wav_lens)
+        emb, _ = model.apply(variables, feats, lengths=feat_lens,
+                             deterministic=True)
         emb = emb.reshape(emb.shape[0], -1)
-        return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
-    rows, _ = read_segments(csv_path)
+    return run
+
+
+def _read_full(row) -> np.ndarray:
+    x, sr = io.read(row["wav"])
+    x = np.asarray(x, np.float32)
+    if x.ndim > 1:
+        x = x[:, 0]
+    return x[:MAX_LEN]
+
+
+def embed_rows(embed_fn, rows, loader=_read_full):
+    """id → embedding over full utterances, grouped into length buckets."""
+    waves = [(r["ID"], loader(r)) for r in rows]
+    by_bucket: dict[int, list] = {}
+    for key, x in waves:
+        by_bucket.setdefault(_bucket_len(len(x)), []).append((key, x))
+
     embs = {}
-    batch, keys = [], []
-    def flush():
-        if not batch:
-            return
-        out = np.asarray(run(jnp.asarray(np.stack(batch))))
-        for k, e in zip(keys, out):
-            embs[k] = e
-        batch.clear(); keys.clear()
-
-    for r in rows:
-        x, sr = io.read(r["wav"])
-        x = np.asarray(x, np.float32)
-        if x.ndim > 1:
-            x = x[:, 0]
-        out = np.zeros(seg_len, np.float32)
-        n = min(len(x), seg_len)
-        out[:n] = x[:n]
-        batch.append(out)
-        keys.append(r["ID"])
-        if len(batch) == 32:
-            flush()
-    flush()
+    for blen, items in sorted(by_bucket.items()):
+        for i in range(0, len(items), BATCH):
+            chunk = items[i:i + BATCH]
+            # the trailing partial batch is padded to a full one: one (B, L)
+            # shape per bucket keeps the jit cache at one entry per bucket
+            wavs = np.zeros((BATCH, blen), np.float32)
+            lens = np.full((BATCH,), 1, np.int32)
+            for j, (_, x) in enumerate(chunk):
+                wavs[j, :len(x)] = x
+                lens[j] = len(x)
+            out = np.asarray(embed_fn(jnp.asarray(wavs), jnp.asarray(lens)))
+            for j, (key, _) in enumerate(chunk):
+                embs[key] = out[j]
     return embs
+
+
+def training_cohort(embed_fn, train_csv, cohort_size: int):
+    """Cohort embeddings from training utterances, one speaker-stratified
+    pass (reference emb_mean over train_dataloader :656-668)."""
+    rows, _ = read_segments(train_csv)
+    by_spk: dict[str, list] = {}
+    for r in rows:
+        by_spk.setdefault(r["spk_id"], []).append(r)
+    # round-robin across speakers so the cohort spans the speaker space
+    ordered = []
+    idx = 0
+    while len(ordered) < min(cohort_size, len(rows)):
+        for spk in sorted(by_spk):
+            if idx < len(by_spk[spk]):
+                ordered.append(by_spk[spk][idx])
+                if len(ordered) >= min(cohort_size, len(rows)):
+                    break
+        idx += 1
+
+    def load(row):
+        if "start" in row and row.get("stop"):
+            seg = load_segment(row, int(row["stop"]) - int(row["start"]))
+            return seg[:MAX_LEN]
+        return _read_full(row)
+
+    embs = embed_rows(embed_fn, ordered, loader=load)
+    return np.stack([embs[r["ID"]] for r in ordered])
+
+
+def score_trials(embs, pairs, cohort=None):
+    """Cosine (optionally s-normed) scores for (label, enrol, test) trials."""
+    pos, neg = [], []
+    for label, e_key, t_key in pairs:
+        if e_key not in embs or t_key not in embs:
+            continue
+        e, t = embs[e_key], embs[t_key]
+        score = float(np.dot(e, t))
+        if cohort is not None:
+            # adaptive s-norm (reference evaluate2:572-668)
+            e_c = cohort @ e
+            t_c = cohort @ t
+            score = 0.5 * ((score - e_c.mean()) / (e_c.std() + 1e-8)
+                           + (score - t_c.mean()) / (t_c.std() + 1e-8))
+        (pos if label == 1 else neg).append(score)
+    return pos, neg
 
 
 def main():
@@ -77,14 +154,13 @@ def main():
     ckpt = restore_checkpoint(cfg.train.ckpt_dir)
     variables = {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
 
-    seg_len = int(float(cfg.data.seg_dur) * SAMPLE_RATE)
-    embs = embed_utterances(model, variables, cfg.data.enrol_csv, cfg, seg_len)
-    embs.update(embed_utterances(model, variables, cfg.data.test_csv, cfg, seg_len))
+    embed_fn = make_embed_fn(model, variables, cfg)
+    embs = embed_rows(embed_fn, read_segments(cfg.data.enrol_csv)[0])
+    embs.update(embed_rows(embed_fn, read_segments(cfg.data.test_csv)[0]))
 
     def key_of(rel):
         return rel.replace("/", "--").rsplit(".", 1)[0]
 
-    pos, neg = [], []
     pairs = []
     with open(cfg.data.veri_pairs, encoding="utf-8") as f:
         for line in f:
@@ -94,24 +170,13 @@ def main():
 
     cohort = None
     if bool(cfg.eval.score_norm):
-        keys = sorted(embs)
-        cohort = np.stack([embs[k] for k in keys[: int(cfg.eval.cohort_size)]])
+        cohort = training_cohort(embed_fn, cfg.data.train_csv,
+                                 int(cfg.eval.cohort_size))
 
-    for label, e_key, t_key in pairs:
-        if e_key not in embs or t_key not in embs:
-            continue
-        e, t = embs[e_key], embs[t_key]
-        score = float(np.dot(e, t))
-        if cohort is not None:
-            # adaptive s-norm (reference evaluate2:572-668)
-            e_c = cohort @ e
-            t_c = cohort @ t
-            score = 0.5 * ((score - e_c.mean()) / (e_c.std() + 1e-8)
-                           + (score - t_c.mean()) / (t_c.std() + 1e-8))
-        (pos if label == 1 else neg).append(score)
-
+    pos, neg = score_trials(embs, pairs, cohort)
     eer, threshold = get_eer(np.asarray(pos), np.asarray(neg))
     print(f"pairs={len(pos) + len(neg)} EER={100 * eer:.2f}% thr={threshold:.4f}")
+    return eer
 
 
 if __name__ == "__main__":

@@ -46,19 +46,38 @@ class SpeakerNet(nn.Module):
     channels: tuple = (512, 512, 512, 512, 1536)
 
     @nn.compact
-    def __call__(self, feats, deterministic=True):
+    def __call__(self, feats, lengths=None, deterministic=True):
         emb = EcapaTDNN(channels=self.channels, lin_neurons=self.emb_dim,
-                        name="embedding_model")(feats, deterministic=deterministic)
+                        name="embedding_model")(
+            feats, lengths=lengths, deterministic=deterministic)
         cosine = Classifier(self.n_classes, lin_neurons=self.emb_dim,
                             name="classifier")(emb, deterministic=deterministic)
         return emb, cosine
 
 
-def extract_features(wavs, n_mels=80):
-    """(B, L) waveforms → (B, T, n_mels) mean-normalized log-fbank, on device."""
+FBANK_N_FFT = 400
+FBANK_HOP = FBANK_N_FFT // 2  # device_fbank default: hop = win//2, centered
+
+
+def extract_features(wavs, n_mels=80, wav_lens=None):
+    """(B, L) waveforms → (B, T, n_mels) mean-normalized log-fbank, on device.
+
+    With ``wav_lens`` the per-utterance mean is computed over valid frames
+    only, padded frames are zeroed, and ``(feats, feat_lens)`` is returned —
+    the variable-length path for full-utterance verification eval (reference
+    scores whole utterances, speaker_verification_cosine.py:572-668).
+    """
     feats = device_fbank(wavs, n_mels=n_mels)  # (B, n_mels, T)
     feats = jnp.swapaxes(feats, -1, -2)
-    return feats - feats.mean(axis=1, keepdims=True)
+    if wav_lens is None:
+        return feats - feats.mean(axis=1, keepdims=True)
+    from mindaudio_tpu.utils.mask import make_non_pad_mask
+
+    feat_lens = (1 + wav_lens // FBANK_HOP).astype(jnp.int32)
+    mask = make_non_pad_mask(feat_lens, feats.shape[1])[..., None]
+    count = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    mean = (feats * mask).sum(axis=1, keepdims=True) / count
+    return jnp.where(mask, feats - mean, 0.0), feat_lens
 
 
 def main():

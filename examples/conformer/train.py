@@ -36,7 +36,9 @@ from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
 from mindaudio_tpu.train.state import (
     TrainState,
+    as_dropout_key,
     clip_by_global_norm,
+    fast_dropout_rng,
     skip_nonfinite_update,
 )
 from mindaudio_tpu.scheduler.schedules import asr_warmup_lr
@@ -119,7 +121,7 @@ def make_step(cfg, model, mesh, st_sh):
         return loss, metrics
 
     def step(state, batch):
-        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        rng = jax.random.fold_in(as_dropout_key(state.dropout_rng), state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
@@ -192,7 +194,7 @@ def main():
     tx = optax.adamw(schedule, weight_decay=cfg.optim.weight_decay)
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx,
-        dropout_rng=jax.random.PRNGKey(42),
+        dropout_rng=fast_dropout_rng(42),
     )
 
     # resume: restore params/opt_state/step from the latest checkpoint

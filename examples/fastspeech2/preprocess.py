@@ -1,14 +1,18 @@
 """LJSpeech → FastSpeech2 features (phonemes, mel, pitch, energy, duration).
 
 Counterpart of reference ``examples/fastspeech2/preprocess.py``
-(``get_fs2_features`` :74: pyworld pitch + MFA TextGrid durations). This
-image has neither pyworld nor MFA, so the self-contained substitutes are:
+(``get_fs2_features`` :74: pyworld pitch + MFA TextGrid durations).
+Self-contained equivalents (neither pyworld nor the textgrid package is in
+the image):
 
-- pitch: per-frame autocorrelation f0 (NumPy), averaged per phoneme span;
-- duration: MFA TextGrids are used when ``<feature_dir>/TextGrid`` exists
-  (one ``<utt>.npy`` int array per utt); otherwise mel frames are split
-  uniformly across phonemes — good enough to train the pipeline end-to-end,
-  swap in MFA alignments for publication-grade prosody.
+- pitch: YIN f0 (``mindaudio_tpu.data.features.yin``, vectorized NumPy),
+  averaged per phoneme span;
+- duration + phoneme sequence: real MFA ``<utt>.TextGrid`` files are parsed
+  from ``<feature_dir>/TextGrid`` (``mindaudio_tpu.data.textgrid``) — the
+  wav is trimmed to the aligned span and phones come from the alignment,
+  exactly like the reference; a pre-converted ``<utt>.npy`` duration array
+  is accepted as a fallback, and with no alignment at all mel frames are
+  split uniformly across the transcript's phonemes (pipeline bring-up mode).
 
 Writes per-utt ``<utt>.npy`` dicts + ``train.txt`` list.
 Usage: python preprocess.py [--data.ljspeech_dir ...]
@@ -24,32 +28,11 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 
 from mindaudio_tpu.data import io, spectrum
+from mindaudio_tpu.data.features import yin
+from mindaudio_tpu.data.textgrid import alignment_to_durations, read_textgrid
 from mindaudio_tpu.train.config import get_config
 
-from text import load_cmudict, pinyin_to_sequence, text_to_sequence
-
-
-def estimate_f0(wav, sr, hop, frame_len=1024, fmin=70.0, fmax=400.0):
-    """Per-frame autocorrelation pitch estimate (NumPy, no pyworld)."""
-    n_frames = 1 + len(wav) // hop
-    f0 = np.zeros(n_frames, np.float32)
-    lag_min = int(sr / fmax)
-    lag_max = min(int(sr / fmin), frame_len - 1)
-    pad = np.pad(wav, (frame_len // 2, frame_len))
-    for i in range(n_frames):
-        frame = pad[i * hop: i * hop + frame_len]
-        frame = frame - frame.mean()
-        energy = np.sum(frame**2)
-        if energy < 1e-6:
-            continue
-        ac = np.correlate(frame, frame, mode="full")[frame_len - 1:]
-        seg = ac[lag_min:lag_max]
-        if seg.size == 0:
-            continue
-        lag = lag_min + int(np.argmax(seg))
-        if ac[lag] > 0.3 * ac[0]:  # voicing threshold
-            f0[i] = sr / lag
-    return f0
+from text import load_cmudict, phones_to_sequence, pinyin_to_sequence, text_to_sequence
 
 
 def phoneme_average(frame_values, durations):
@@ -94,9 +77,24 @@ def main():
             if wav.ndim > 1:
                 wav = wav[:, 0]
 
+            # MFA alignment: phones + durations from the TextGrid, wav
+            # trimmed to the aligned span (reference get_fs2_features :74)
+            tg_path = os.path.join(tg_dir, utt + ".TextGrid")
+            tg_durations = None
+            if os.path.exists(tg_path):
+                tiers = read_textgrid(tg_path)
+                tier = tiers.get("phones") or next(iter(tiers.values()), [])
+                phones, durs, start_s, end_s = alignment_to_durations(
+                    tier, wav_sr, hop)
+                if not phones:
+                    continue
+                wav = wav[int(round(start_s * wav_sr)):
+                          int(round(end_s * wav_sr))]
+                phonemes = np.asarray(phones_to_sequence(phones), np.int32)
+                tg_durations = np.asarray(durs, np.int32)
             # data.pinyin: transcripts are tone-numbered Mandarin pinyin
             # (the training-side counterpart of generate.py --pinyin)
-            if bool(getattr(cfg.data, "pinyin", False)):
+            elif bool(getattr(cfg.data, "pinyin", False)):
                 phonemes = np.asarray(pinyin_to_sequence(text), np.int32)
             else:
                 phonemes = np.asarray(text_to_sequence(text, cmudict=cmudict), np.int32)
@@ -113,25 +111,28 @@ def main():
             n_frames = mel.shape[0]
 
             tg = os.path.join(tg_dir, utt + ".npy")
-            if os.path.exists(tg):
+            if tg_durations is not None:
+                durations = tg_durations
+            elif os.path.exists(tg):
                 durations = np.load(tg).astype(np.int32)
                 durations = durations[: len(phonemes)]
                 if len(durations) < len(phonemes):
                     durations = np.pad(durations, (0, len(phonemes) - len(durations)))
-                # clamp into the mel frame budget: durations summing past
-                # n_frames would make phoneme_average take empty slices -> NaN
-                cum = np.cumsum(durations.astype(np.int64))
-                durations = np.where(
-                    cum <= n_frames, durations,
-                    np.maximum(n_frames - (cum - durations), 0),
-                ).astype(np.int32)
             else:
                 durations = uniform_durations(len(phonemes), n_frames)
+            # clamp into the mel frame budget: durations summing past
+            # n_frames would make phoneme_average take empty slices -> NaN
+            cum = np.cumsum(durations.astype(np.int64))
+            durations = np.where(
+                cum <= n_frames, durations,
+                np.maximum(n_frames - (cum - durations), 0),
+            ).astype(np.int32)
 
             # log1p keeps pitch in the variance-adaptor bin range
             # (VarianceAdaptor.pitch_range ≈ (-2.9, 11.4)); raw Hz would swamp
-            # the MSE pitch loss term
-            f0 = np.log1p(estimate_f0(wav, wav_sr, hop)[:n_frames])
+            # the MSE pitch loss term, and YIN's unvoiced zeros stay zero
+            f0_hz = yin(wav, sample_rate=wav_sr, hop_length=hop)
+            f0 = np.log1p(np.pad(f0_hz, (0, max(0, n_frames - len(f0_hz))))[:n_frames])
             energy = np.sqrt(
                 np.add.reduceat(
                     np.pad(wav, (0, max(0, n_frames * hop - len(wav)))) ** 2,

@@ -66,6 +66,32 @@ def clean_text(text: str, cleaner: str = "english_cleaners") -> str:
     return getattr(cleaners, cleaner)(text)
 
 
+def phones_to_sequence(phones: List[str]) -> List[int]:
+    """MFA-alignment phone labels → symbol ids.
+
+    MFA emits ARPABET with stress digits (``AH0``) plus silence labels
+    (``sp``/``spn``/``sil``); stress is dropped (the table is stress-free,
+    matching load_cmudict) and unknown labels map to ``spn``. Used when
+    preprocessing consumes real ``.TextGrid`` alignments (reference
+    examples/fastspeech2/preprocess.py:74 get_fs2_features).
+    """
+    seq = []
+    for p in phones:
+        if p in _SILENCES:
+            seq.append(_symbol_to_id[f"@{p}"])
+            continue
+        bare = _stress_re.sub(r"\1", p.upper())
+        if f"@{bare}" in _symbol_to_id:
+            seq.append(_symbol_to_id[f"@{bare}"])
+        elif p in _symbol_to_id:  # pinyin initial/final labels
+            seq.append(_symbol_to_id[p])
+        elif f"@{p}" in _symbol_to_id:
+            seq.append(_symbol_to_id[f"@{p}"])
+        else:
+            seq.append(_symbol_to_id["@spn"])
+    return seq
+
+
 def text_to_sequence(
     text: str,
     cleaner: str = "english_cleaners",

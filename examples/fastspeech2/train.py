@@ -29,7 +29,9 @@ from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
 from mindaudio_tpu.train.state import (
     TrainState,
+    as_dropout_key,
     clip_by_global_norm,
+    fast_dropout_rng,
     skip_nonfinite_update,
 )
 
@@ -92,11 +94,11 @@ def main():
     )
     tx = optax.adam(schedule)
     state = TrainState.create(apply_fn=net.apply, params=params, tx=tx,
-                              dropout_rng=jax.random.PRNGKey(7))
+                              dropout_rng=fast_dropout_rng(7))
     state = jax.device_put(state, repl)
 
     def step(state, batch):
-        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        rng = jax.random.fold_in(as_dropout_key(state.dropout_rng), state.step)
         (loss, aux), grads = jax.value_and_grad(apply_loss, has_aux=True)(
             state.params, batch, rng
         )

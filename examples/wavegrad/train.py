@@ -34,7 +34,9 @@ from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
 from mindaudio_tpu.train.state import (
     TrainState,
+    as_dropout_key,
     clip_by_global_norm,
+    fast_dropout_rng,
     skip_nonfinite_update,
 )
 
@@ -114,11 +116,11 @@ def main():
     schedule = optax.linear_schedule(0.0, float(cfg.optim.lr), warmup)
     tx = optax.adam(schedule)
     state = TrainState.create(apply_fn=net.apply, params=params, tx=tx,
-                              dropout_rng=jax.random.PRNGKey(3))
+                              dropout_rng=fast_dropout_rng(3))
     state = jax.device_put(state, repl)
 
     def step(state, batch):
-        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        rng = jax.random.fold_in(as_dropout_key(state.dropout_rng), state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         grads, gnorm = clip_by_global_norm(grads, cfg.optim.grad_clip)
         new_state = skip_nonfinite_update(

@@ -26,6 +26,7 @@ __all__ = [
     "soft_mask",
     "hpss",
     "harmonic",
+    "yin",
 ]
 
 
@@ -296,3 +297,98 @@ def harmonic(y_input, **kwargs):
     y_stft = stft(y_input, n_fft=2048, pad_mode="constant")
     stft_harm = hpss(y_stft, **kwargs)[0]
     return istft(stft_harm, length=y_input.shape[-1])
+
+
+def yin(
+    x,
+    fmin=70.0,
+    fmax=400.0,
+    sample_rate=16000,
+    frame_length=1024,
+    hop_length=None,
+    threshold=0.1,
+    center=True,
+):
+    """YIN fundamental-frequency estimation (de Cheveigné & Kawahara 2002).
+
+    Vectorized NumPy (no pyworld in the image): per-frame difference function
+    via FFT autocorrelation, cumulative-mean-normalized difference (CMNDF),
+    absolute-threshold trough selection with parabolic interpolation.
+    Replaces the reference's pyworld pitch in the FastSpeech2 recipe
+    (reference examples/fastspeech2/preprocess.py:74).
+
+    Args:
+        x: ``(T,)`` waveform.
+        threshold: CMNDF absolute threshold; frames whose best trough exceeds
+            ~0.35 are reported unvoiced (f0 = 0).
+
+    Returns:
+        ``(n_frames,)`` f0 in Hz, 0 where unvoiced;
+        ``n_frames = 1 + T // hop`` when ``center`` (matching the centered
+        mel frame count) else ``1 + (T - frame_length) // hop``.
+    """
+    x = np.asarray(x, np.float64)
+    hop = hop_length or frame_length // 4
+    tau_min = max(int(sample_rate / fmax), 1)
+    tau_max = min(int(np.ceil(sample_rate / fmin)), frame_length // 2)
+    if tau_min >= tau_max:
+        raise ValueError(f"fmin/fmax window empty: tau in [{tau_min},{tau_max})")
+    win = frame_length - tau_max  # summation window W
+
+    if center:
+        n_frames = 1 + len(x) // hop  # matches the centered-STFT frame count
+        pad_l = frame_length // 2
+        pad_r = max(0, (n_frames - 1) * hop + frame_length - len(x) - pad_l)
+        x = np.pad(x, (pad_l, pad_r))
+    else:
+        n_frames = 1 + (len(x) - frame_length) // hop
+    frames = np.lib.stride_tricks.sliding_window_view(
+        x, frame_length)[::hop][:n_frames]
+
+    # difference function d(tau) = e0 + e(tau) - 2*acf(tau) per frame
+    nfft = 1 << int(np.ceil(np.log2(2 * frame_length)))
+    f = np.fft.rfft(frames, nfft, axis=-1)
+    acf = np.fft.irfft(f * np.conj(f), nfft, axis=-1)[:, : tau_max + 1]
+    sq = frames**2
+    csum = np.concatenate(
+        [np.zeros((len(frames), 1)), np.cumsum(sq, axis=-1)], axis=-1
+    )
+    # energy of x[tau : tau+win] for each tau in [0, tau_max]
+    taus = np.arange(tau_max + 1)
+    e_tau = csum[:, taus + win] - csum[:, taus]
+    e0 = e_tau[:, :1]
+    # acf over the fixed window [0, win): recompute exactly via windowed FFT
+    fw = np.fft.rfft(frames[:, :win], nfft, axis=-1)
+    acf_w = np.fft.irfft(np.conj(fw) * np.fft.rfft(frames, nfft, axis=-1),
+                         nfft, axis=-1)[:, : tau_max + 1]
+    d = np.maximum(e0 + e_tau - 2 * acf_w, 0.0)
+
+    # CMNDF: d'(0) = 1, d'(tau) = d(tau) * tau / cumsum(d)[tau]
+    cum = np.cumsum(d[:, 1:], axis=-1)
+    cmndf = np.ones_like(d)
+    cmndf[:, 1:] = d[:, 1:] * np.arange(1, tau_max + 1) / np.maximum(cum, 1e-12)
+
+    band = cmndf[:, tau_min:tau_max]
+    # first local minimum below threshold (YIN step 4); fall back to the
+    # global minimum for unvoiced-ish frames
+    nxt = np.concatenate(
+        [band[:, 1:], np.full((len(band), 1), np.inf)], axis=-1)
+    trough = (band < threshold) & (band <= nxt)
+    has_trough = trough.any(axis=-1)
+    idx = np.where(has_trough, trough.argmax(axis=-1), band.argmin(axis=-1))
+    tau = idx + tau_min
+
+    # parabolic interpolation around the trough
+    t0 = np.clip(tau - 1, 0, tau_max)
+    t2 = np.clip(tau + 1, 0, tau_max)
+    ar = np.arange(len(frames))
+    y0, y1, y2 = cmndf[ar, t0], cmndf[ar, tau], cmndf[ar, t2]
+    denom = y0 - 2 * y1 + y2
+    delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y0 - y2) / np.where(
+        np.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    delta = np.clip(delta, -0.5, 0.5)
+    period = tau + delta
+
+    f0 = sample_rate / np.maximum(period, 1e-6)
+    voiced = has_trough | (band[ar, idx] < 0.35)
+    return np.where(voiced, f0, 0.0).astype(np.float32)

@@ -55,6 +55,11 @@ class ASRModel(nn.Module):
     cmvn_mean: Optional[jnp.ndarray] = None
     cmvn_istd: Optional[jnp.ndarray] = None
     remat: bool = False
+    # sequence-parallel encoder attention (see ConformerEncoder.sp_mesh)
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "seq"
+    sp_variant: str = "ring"
+    sp_batch_axis: Optional[str] = "data"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -72,6 +77,10 @@ class ASRModel(nn.Module):
             cmvn_mean=self.cmvn_mean,
             cmvn_istd=self.cmvn_istd,
             remat=self.remat,
+            sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis,
+            sp_variant=self.sp_variant,
+            sp_batch_axis=self.sp_batch_axis,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(

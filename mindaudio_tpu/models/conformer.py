@@ -45,6 +45,10 @@ class ConformerEncoderLayer(nn.Module):
     norm_type: str = "layer_norm"
     causal_conv: bool = False
     use_macaron: bool = True
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh: sequence-parallel attention
+    sp_axis: str = "seq"
+    sp_variant: str = "ring"
+    sp_batch_axis: Optional[str] = "data"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,7 +69,10 @@ class ConformerEncoderLayer(nn.Module):
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         y = RelPositionMultiHeadedAttention(
-            self.head_num, self.dropout_rate, dtype=self.dtype, name="self_attn"
+            self.head_num, self.dropout_rate, dtype=self.dtype,
+            sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+            sp_variant=self.sp_variant, sp_batch_axis=self.sp_batch_axis,
+            name="self_attn",
         )(y, y, y, mask=mask, pos_emb=pos_emb, deterministic=deterministic,
           kv_cache=att_cache)
         if streaming:
@@ -122,6 +129,17 @@ class ConformerEncoder(nn.Module):
     cmvn_mean: Optional[jnp.ndarray] = None
     cmvn_istd: Optional[jnp.ndarray] = None
     remat: bool = False  # rematerialize each block's activations in backward
+    # Sequence parallelism over the (subsampled) time axis — the long-audio
+    # capability the reference lacks (SURVEY §5.7). Set sp_mesh to a Mesh with
+    # an ``sp_axis`` dim: self-attention runs as a ring (or Ulysses) kernel
+    # over ICI, the conv module's time-dim halo exchange is inserted by GSPMD
+    # from the with_sharding_constraint below, and the subsampled length must
+    # be divisible by the axis size (pad the bucket). Requires full-context
+    # attention (no dynamic/static chunking).
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "seq"
+    sp_variant: str = "ring"
+    sp_batch_axis: Optional[str] = "data"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -140,6 +158,8 @@ class ConformerEncoder(nn.Module):
             layer_cls(
                 self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
                 self.kernel_size, self.norm_type, self.causal_conv,
+                sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+                sp_variant=self.sp_variant, sp_batch_axis=self.sp_batch_axis,
                 dtype=self.dtype, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
@@ -158,6 +178,28 @@ class ConformerEncoder(nn.Module):
             xs = self.global_cmvn(xs)
 
         xs, pos_emb = self.embed(xs.astype(self.dtype), deterministic=deterministic)
+
+        if self.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if self.use_dynamic_chunk or self.static_chunk_size > 0:
+                raise ValueError(
+                    "sequence parallelism requires full-context attention; "
+                    "disable dynamic/static chunking"
+                )
+            if xs.shape[1] % self.sp_mesh.shape[self.sp_axis] != 0:
+                raise ValueError(
+                    f"subsampled length {xs.shape[1]} not divisible by "
+                    f"'{self.sp_axis}' axis size "
+                    f"{self.sp_mesh.shape[self.sp_axis]}; pad the bucket"
+                )
+            bax = (self.sp_batch_axis
+                   if self.sp_batch_axis
+                   and self.sp_mesh.shape.get(self.sp_batch_axis, 1) > 1
+                   else None)
+            xs = jax.lax.with_sharding_constraint(
+                xs, NamedSharding(self.sp_mesh, PartitionSpec(bax, self.sp_axis, None))
+            )
 
         t_sub = xs.shape[1]
         sub_lens = ((xs_lens - 1) // 2 - 1) // 2

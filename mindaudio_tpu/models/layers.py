@@ -18,7 +18,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -132,11 +132,24 @@ class RelPositionMultiHeadedAttention(nn.Module):
     WeNet/reference convention (attention.py:156): ``score = (q+u)·k + (q+v)·p``
     where ``p`` projects the relative positional embedding; the bd matrix-shift
     is dropped exactly as in the reference (attention.py:232-234).
+
+    Sequence parallelism (long-audio encoders; SURVEY §5.7 north star): when
+    ``sp_mesh`` is set, the score decomposition above is folded into ONE
+    standard attention with an augmented head dim —
+    ``[q+u; q+v] · [k; p] = (q+u)·k + (q+v)·p`` — and routed through
+    :func:`parallel.ring_attention.sequence_parallel_attention`, with the time
+    axis sharded over ``sp_axis``. Restrictions on the SP path: padding masks
+    only (no chunk masks), no streaming cache, and attention-weight dropout is
+    skipped (the streaming-softmax kernel never materializes the weights).
     """
 
     head_num: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    sp_mesh: Optional[object] = None  # jax.sharding.Mesh
+    sp_axis: str = "seq"
+    sp_variant: str = "ring"
+    sp_batch_axis: Optional[str] = "data"
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, pos_emb=None,
@@ -163,6 +176,33 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         q_u = q + u.astype(self.dtype)[None, :, None, :]
         q_v = q + vb.astype(self.dtype)[None, :, None, :]
+
+        if self.sp_mesh is not None and kv_cache is None:
+            from ..parallel.ring_attention import sequence_parallel_attention
+
+            if mask is None:
+                kv_valid = None
+            elif mask.shape[-2] == 1:
+                kv_valid = mask.reshape(mask.shape[0], mask.shape[-1])
+            else:
+                raise ValueError(
+                    "sequence-parallel attention supports padding masks only "
+                    f"(got mask shape {mask.shape}); disable dynamic/static "
+                    "chunking when sp_mesh is set"
+                )
+            q_aug = jnp.concatenate([q_u, q_v], axis=-1)
+            k_aug = jnp.concatenate(
+                [k, jnp.broadcast_to(p.astype(k.dtype), k.shape)], axis=-1
+            )
+            out = sequence_parallel_attention(
+                q_aug, k_aug, v, self.sp_mesh, kv_valid=kv_valid,
+                seq_axis=self.sp_axis, batch_axis=self.sp_batch_axis,
+                variant=self.sp_variant, scale=float(d_k) ** -0.5,
+            )
+            b, h, t, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, d_model)
+            return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+
         matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
         matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)
         scores = (matrix_ac + matrix_bd) / jnp.sqrt(

@@ -52,8 +52,12 @@ def ring_attention(q, k, v, kv_valid=None, axis_name: str = "seq", scale=None):
     q = q * jnp.asarray(scale, q.dtype)
 
     # derive the accumulators from q/k so they carry the same varying-manual-
-    # axes type as the inputs (shard_map's scan carry typing requires it)
-    acc = q.astype(jnp.float32) * 0.0
+    # axes type as the inputs (shard_map's scan carry typing requires it);
+    # the output feature dim follows v, not q (q may carry an augmented head
+    # dim, e.g. the rel-pos folding in models/layers.py)
+    acc = (q[..., :1].astype(jnp.float32) * 0.0
+           + v[:, :, :1, :1].astype(jnp.float32) * 0.0
+           + jnp.zeros(q.shape[:-1] + (v.shape[-1],), jnp.float32))
     m = q[..., 0].astype(jnp.float32) * 0.0 + NEG_INF
     l = q[..., 0].astype(jnp.float32) * 0.0
     if kv_valid is None:
@@ -137,6 +141,7 @@ def ulysses_attention(q, k, v, kv_valid=None, axis_name: str = "seq", scale=None
 def sequence_parallel_attention(
     q, k, v, mesh: Mesh, kv_valid=None, seq_axis: str = "seq",
     batch_axis: Optional[str] = "data", variant: str = "ring",
+    scale=None,
 ):
     """shard_map wrapper: global ``(B, H, T, D)`` arrays in, attention out.
 
@@ -145,6 +150,8 @@ def sequence_parallel_attention(
     ``softmax(QK^T)V`` on long audio. ``variant`` picks the collective
     pattern: ``"ring"`` (ppermute KV rotation, any head count, O(T_loc²)
     memory) or ``"ulysses"`` (two all-to-alls, needs ``H % axis_size == 0``).
+    ``scale`` overrides the default ``D**-0.5`` score scale (needed when the
+    head dim was augmented, e.g. the rel-pos folding in models/layers.py).
     """
     try:
         from jax import shard_map
@@ -156,7 +163,7 @@ def sequence_parallel_attention(
     valid_spec = P(bspec, seq_axis)
 
     impl = {"ring": ring_attention, "ulysses": ulysses_attention}[variant]
-    fn = functools.partial(impl, axis_name=seq_axis)
+    fn = functools.partial(impl, axis_name=seq_axis, scale=scale)
     if kv_valid is None:
         mapped = shard_map(
             lambda q, k, v: fn(q, k, v),

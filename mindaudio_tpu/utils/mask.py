@@ -63,15 +63,17 @@ def add_optional_chunk_mask(
 ):
     """Combine the pad mask with an (optionally random-size) chunk mask.
 
-    ``masks``: ``(B, 1, T)`` non-pad mask. Returns ``(B, T, T)`` attention
-    mask. Mirrors the reference's training-time dynamic chunk sampling
-    (mask.py:201-254): with ``use_dynamic_chunk`` the chunk size is drawn in
-    [1, max_len], using full context half of the time.
+    ``masks``: ``(B, 1, T)`` non-pad mask. Returns a ``(B, T, T)`` attention
+    mask when chunking applies, else the ``(B, 1, T)`` pad mask unchanged
+    (broadcast-equivalent: every query row sees the same key mask, and not
+    materializing T×T saves HBM). Mirrors the reference's training-time
+    dynamic chunk sampling (mask.py:201-254): with ``use_dynamic_chunk`` the
+    chunk size is drawn in [1, max_len], using full context half of the time.
     """
     size = masks.shape[-1]
     if use_dynamic_chunk:
         if decoding_chunk_size < 0:
-            return masks & jnp.ones((size, size), bool)
+            return masks
         if decoding_chunk_size > 0:
             cm = subsequent_chunk_mask(size, decoding_chunk_size, num_decoding_left_chunks)
             return masks & cm[None]
@@ -95,4 +97,4 @@ def add_optional_chunk_mask(
     if static_chunk_size > 0:
         cm = subsequent_chunk_mask(size, static_chunk_size, num_decoding_left_chunks)
         return masks & cm[None]
-    return masks & jnp.ones((size, size), bool)
+    return masks

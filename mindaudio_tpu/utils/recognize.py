@@ -174,7 +174,9 @@ class ASRInference:
         return hyps[best], scores[best]
 
     def _rescore_device_impl(self, enc_out, enc_mask, hyps_in, hyps_lens):
-        beam = hyps_in.shape[0]
+        """One decoder pass over ``B * beam`` hypotheses (``enc_out`` batch B,
+        hyps grouped per utterance: utt0's beam rows, then utt1's, ...)."""
+        beam = hyps_in.shape[0] // enc_out.shape[0]
         memory = jnp.repeat(enc_out, beam, axis=0)
         mem_mask = jnp.repeat(enc_mask, beam, axis=0)
         logits = self.model.apply(
@@ -195,19 +197,35 @@ class ASRInference:
         ]
         return hyps, np.asarray(score)
 
+    def ctc_prefix_beam_search_batch(self, feats, feat_lens):
+        """Batched prefix beam search: ONE encoder+topk device program for the
+        whole batch, then the (inherently sequential) host DP per utterance.
+
+        Returns ``(batch_hyps, enc_out, enc_mask)`` where ``batch_hyps[b]`` is
+        the utterance's best-first ``[(prefix, log_prob), ...]`` list. The
+        reference runs this one utterance at a time (recognize.py:273);
+        batching amortizes the encoder pass and the host↔device round trip —
+        the two costs that dominated the round-1 RTF.
+        """
+        enc_out, enc_mask, top_logp, top_idx = self._encode_topk(feats, feat_lens)
+        valid = np.asarray(enc_mask[:, 0, :]).sum(-1)
+        top_logp, top_idx = np.asarray(top_logp), np.asarray(top_idx)
+        batch_hyps = [
+            ctc_prefix_beam_dp(top_logp[b], top_idx[b], int(valid[b]),
+                               self.beam_size, self.blank_id)
+            for b in range(feats.shape[0])
+        ]
+        return batch_hyps, enc_out, enc_mask
+
     def ctc_prefix_beam_search(self, feats, feat_lens):
         """Batch-1 prefix beam search (reference recognize.py:273).
 
         Returns ``(hyps, enc_out, enc_mask)`` with hyps best-first.
         """
-        assert feats.shape[0] == 1, "prefix beam search supports batch 1"
-        enc_out, enc_mask, top_logp, top_idx = self._encode_topk(feats, feat_lens)
-        n_valid = int(np.asarray(enc_mask[0, 0]).sum())
-        hyps = ctc_prefix_beam_dp(
-            np.asarray(top_logp[0]), np.asarray(top_idx[0]),
-            n_valid, self.beam_size, self.blank_id,
-        )
-        return hyps, enc_out, enc_mask
+        assert feats.shape[0] == 1, "use ctc_prefix_beam_search_batch for B>1"
+        batch_hyps, enc_out, enc_mask = self.ctc_prefix_beam_search_batch(
+            feats, feat_lens)
+        return batch_hyps[0], enc_out, enc_mask
 
     def recognize(self, feats, feat_lens):
         """Batch-1 attention beam search; returns (token list, score)."""
@@ -222,7 +240,7 @@ class ASRInference:
             out.append(int(tok))
         return out, float(score)
 
-    def streaming_ctc_greedy(self, feat_chunks, required_cache_size=-1):
+    def streaming_ctc_greedy(self, feat_chunks, required_cache_size=128):
         """Streaming CTC greedy over an iterable of raw-feature chunks.
 
         Each chunk is ``(1, 4*C + 3, F)`` raw frames (see
@@ -230,9 +248,14 @@ class ASRInference:
         tokens for chunk i are final when chunk i is processed. The model
         must be built with ``causal_conv=True`` and trained with chunked
         masks. New capability beyond the reference (no streaming driver
-        exists there). ``required_cache_size >= 0`` caps the attention left
-        context so cache size, per-chunk cost, and the jit-shape set stay
-        bounded on long streams (see ``ConformerEncoder.forward_chunk``).
+        exists there).
+
+        ``required_cache_size`` caps the attention left context so cache
+        size, per-chunk cost, and the jit-shape set stay bounded on long
+        streams (see ``ConformerEncoder.forward_chunk``). The default keeps
+        128 subsampled frames (~5 s of audio) — bounded by default so an
+        unbounded stream cannot grow the cache (and recompile every chunk);
+        pass ``-1`` explicitly for exact full history on short utterances.
 
         Returns the collapsed token list.
         """
@@ -251,20 +274,30 @@ class ASRInference:
                 prev = tok
         return hyp
 
-    def attention_rescoring(self, feats, feat_lens):
-        """CTC prefix beam candidates re-scored by one decoder pass
-        (reference recognize.py:339-406)."""
-        hyps, enc_out, enc_mask = self.ctc_prefix_beam_search(feats, feat_lens)
-        max_tgt = self.max_tgt_len
-        # CTC prefixes are bounded by frame count, not max_tgt_len — truncate
-        # so decoder scoring and padding agree
-        hyps = [(h[:max_tgt], s) for h, s in hyps]
-        beam = len(hyps)
-        hyps_lens = np.array([len(h[0]) for h in hyps], np.int32)
+    def attention_rescoring_batch(self, feats, feat_lens):
+        """Batched attention rescoring: batched prefix beam candidates, ONE
+        decoder pass over all ``B * beam`` hypotheses, host argmax per
+        utterance (reference recognize.py:339-406 is batch-1 throughout).
 
+        Returns ``[(tokens, score), ...]`` per utterance.
+        """
+        batch_hyps, enc_out, enc_mask = self.ctc_prefix_beam_search_batch(
+            feats, feat_lens)
+        max_tgt = self.max_tgt_len
+        beam = self.beam_size
+        # CTC prefixes are bounded by frame count, not max_tgt_len — truncate
+        # so decoder scoring and padding agree; pad each utterance's list to
+        # exactly `beam` rows (the DP can return fewer) for a static shape
+        batch_hyps = [
+            ([(h[:max_tgt], s) for h, s in hyps]
+             + [((), -float("inf"))] * (beam - len(hyps)))[:beam]
+            for hyps in batch_hyps
+        ]
+        flat = [h for hyps in batch_hyps for h in hyps]
+        hyps_lens = np.array([len(h[0]) for h in flat], np.int32)
         hyps_in, _ = add_sos_eos(
             pad_sequence(
-                [np.array(h[0], np.int32) for h in hyps],
+                [np.array(h[0], np.int32) for h in flat],
                 padding_value=-1, max_len=max_tgt,
             ),
             self.sos, self.eos,
@@ -274,11 +307,20 @@ class ASRInference:
             jnp.asarray(hyps_lens + 1),
         ))
 
-        best_score, best_index = -float("inf"), 0
-        for i, (prefix, ctc_score) in enumerate(hyps):
-            score = sum(dec_logp[i][j][w] for j, w in enumerate(prefix))
-            score += dec_logp[i][len(prefix)][self.eos]
-            score += ctc_score * self.ctc_weight
-            if score > best_score:
-                best_score, best_index = score, i
-        return list(hyps[best_index][0]), float(best_score)
+        results = []
+        for b, hyps in enumerate(batch_hyps):
+            best_score, best_index = -float("inf"), 0
+            for i, (prefix, ctc_score) in enumerate(hyps):
+                row = dec_logp[b * beam + i]
+                score = sum(row[j][w] for j, w in enumerate(prefix))
+                score += row[len(prefix)][self.eos]
+                score += ctc_score * self.ctc_weight
+                if score > best_score:
+                    best_score, best_index = score, i
+            results.append((list(hyps[best_index][0]), float(best_score)))
+        return results
+
+    def attention_rescoring(self, feats, feat_lens):
+        """Batch-1 attention rescoring (reference recognize.py:339-406)."""
+        assert feats.shape[0] == 1, "use attention_rescoring_batch for B>1"
+        return self.attention_rescoring_batch(feats, feat_lens)[0]

@@ -1,0 +1,227 @@
+"""FastSpeech2 preprocessing: MFA TextGrid ingestion + YIN f0 (VERDICT r1 #10).
+
+Covers the TextGrid parser (long + short Praat formats), alignment→duration
+conversion, MFA phone-label→id mapping, YIN pitch accuracy against recorded
+goldens, and the preprocess recipe consuming a real .TextGrid fixture end to
+end (reference examples/fastspeech2/preprocess.py:74 get_fs2_features).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../examples/fastspeech2"))
+
+from mindaudio_tpu.data.textgrid import alignment_to_durations, read_textgrid
+
+SR = 22050
+HOP = 256
+
+LONG_TG = '''File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 1.50
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 1.50
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0
+            xmax = 0.20
+            text = ""
+        intervals [2]:
+            xmin = 0.20
+            xmax = 1.10
+            text = "hello"
+        intervals [3]:
+            xmin = 1.10
+            xmax = 1.50
+            text = ""
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.50
+        intervals: size = 6
+        intervals [1]:
+            xmin = 0
+            xmax = 0.20
+            text = "sil"
+        intervals [2]:
+            xmin = 0.20
+            xmax = 0.45
+            text = "HH"
+        intervals [3]:
+            xmin = 0.45
+            xmax = 0.70
+            text = "AH0"
+        intervals [4]:
+            xmin = 0.70
+            xmax = 0.85
+            text = "L"
+        intervals [5]:
+            xmin = 0.85
+            xmax = 1.10
+            text = "OW1"
+        intervals [6]:
+            xmin = 1.10
+            xmax = 1.50
+            text = ""
+'''
+
+SHORT_TG = '''File type = "ooTextFile"
+Object class = "TextGrid"
+
+0
+1.5
+<exists>
+1
+"IntervalTier"
+"phones"
+0
+1.5
+3
+0
+0.5
+"AY1"
+0.5
+1.0
+"sp"
+1.0
+1.5
+"M"
+'''
+
+
+class TestTextGridParser:
+    def test_long_format(self):
+        tiers = read_textgrid(LONG_TG)
+        assert set(tiers) == {"words", "phones"}
+        phones = tiers["phones"]
+        assert len(phones) == 6
+        assert phones[1] == (0.20, 0.45, "HH")
+        assert phones[5][2] == ""
+
+    def test_short_format(self):
+        tiers = read_textgrid(SHORT_TG)
+        assert list(tiers) == ["phones"]
+        assert tiers["phones"] == [(0.0, 0.5, "AY1"), (0.5, 1.0, "sp"),
+                                   (1.0, 1.5, "M")]
+
+    def test_alignment_to_durations(self):
+        tiers = read_textgrid(LONG_TG)
+        phones, durs, start, end = alignment_to_durations(
+            tiers["phones"], SR, HOP)
+        # leading sil and trailing "" trimmed
+        assert phones == ["HH", "AH0", "L", "OW1"]
+        assert (start, end) == (0.20, 1.10)
+        total = round(end * SR / HOP) - round(start * SR / HOP)
+        assert sum(durs) == total
+        assert all(d > 0 for d in durs)
+
+    def test_internal_silence_kept(self):
+        tiers = read_textgrid(SHORT_TG)
+        phones, durs, start, end = alignment_to_durations(
+            tiers["phones"], SR, HOP)
+        assert phones == ["AY1", "sp", "M"]
+        assert start == 0.0 and end == 1.5
+
+
+class TestPhonesToSequence:
+    def test_mfa_labels(self):
+        from text import _symbol_to_id, phones_to_sequence
+
+        seq = phones_to_sequence(["HH", "AH0", "L", "OW1", "sp", "XYZ"])
+        assert seq[0] == _symbol_to_id["@HH"]
+        assert seq[1] == _symbol_to_id["@AH"]   # stress digit dropped
+        assert seq[3] == _symbol_to_id["@OW"]
+        assert seq[4] == _symbol_to_id["@sp"]
+        assert seq[5] == _symbol_to_id["@spn"]  # unknown → spn
+        assert all(s > 0 for s in seq)
+
+
+class TestYin:
+    def test_pure_tone_goldens(self):
+        """Recorded goldens: median YIN f0 on deterministic harmonic tones."""
+        from mindaudio_tpu.data.features import yin
+
+        sr = 16000
+        t = np.arange(2 * sr) / sr
+        for f_true in (110.0, 220.0, 325.0):
+            x = (np.sin(2 * np.pi * f_true * t)
+                 + 0.3 * np.sin(2 * np.pi * 2 * f_true * t))
+            f0 = yin(x, fmin=70, fmax=420, sample_rate=sr, hop_length=256)
+            assert len(f0) == 1 + len(x) // 256
+            v = f0[10:-10]
+            assert (v > 0).all(), "tone must be voiced"
+            np.testing.assert_allclose(np.median(v), f_true, rtol=2e-3)
+
+    def test_silence_unvoiced(self):
+        from mindaudio_tpu.data.features import yin
+
+        x = 1e-7 * np.random.default_rng(0).standard_normal(16000)
+        assert (yin(x, sample_rate=16000, hop_length=256) == 0).all()
+
+    def test_pitch_glide_tracks(self):
+        from mindaudio_tpu.data.features import yin
+
+        sr = 16000
+        t = np.arange(3 * sr) / sr
+        f_t = 150 + 80 * np.sin(2 * np.pi * 0.5 * t)
+        x = np.sin(2 * np.pi * np.cumsum(f_t) / sr)
+        f0 = yin(x, fmin=60, fmax=300, sample_rate=sr, hop_length=256)
+        tt = np.arange(len(f0)) * 256 / sr
+        want = 150 + 80 * np.sin(2 * np.pi * 0.5 * tt)
+        err = np.abs(f0[5:-5] - want[5:-5])
+        assert err.mean() < 2.0, f"mean abs error {err.mean():.2f} Hz"
+
+
+class TestPreprocessWithTextGrid:
+    def test_end_to_end(self, tmp_path, monkeypatch):
+        """preprocess.main() consumes a .TextGrid: phones from the alignment,
+        wav trimmed to the aligned span, durations sum to the mel frames."""
+        import preprocess as prep
+        from text import _symbol_to_id
+
+        lj = tmp_path / "lj"
+        (lj / "wavs").mkdir(parents=True)
+        feat = tmp_path / "feat"
+        (feat / "TextGrid").mkdir(parents=True)
+
+        # 1.5 s tone at 220 Hz; aligned speech spans [0.2, 1.1]
+        t = np.arange(int(1.5 * SR)) / SR
+        wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        from mindaudio_tpu.data import io
+
+        io.write(str(lj / "wavs" / "utt1.wav"), wav, SR)
+        (lj / "metadata.csv").write_text("utt1|Hello|Hello\n")
+        (feat / "TextGrid" / "utt1.TextGrid").write_text(LONG_TG)
+
+        argv = [
+            "--data.ljspeech_dir", str(lj),
+            "--data.feature_dir", str(feat),
+        ]
+        monkeypatch.setattr(sys, "argv", ["preprocess.py"] + argv)
+        prep.main()
+
+        out = np.load(str(feat / "utt1.npy"), allow_pickle=True).item()
+        ids = out["phonemes"].tolist()
+        assert ids == [_symbol_to_id["@HH"], _symbol_to_id["@AH"],
+                       _symbol_to_id["@L"], _symbol_to_id["@OW"]]
+        # durations fill the trimmed clip's mel frames (clip = 0.9 s)
+        n_frames = out["mel"].shape[0]
+        assert sum(out["duration"]) <= n_frames
+        assert sum(out["duration"]) >= round(0.9 * SR / HOP) - 2
+        # YIN pitch: voiced phones of a 220 Hz tone → log1p(220) ± a little
+        pitch = out["pitch"]
+        voiced = pitch[pitch > 0]
+        assert voiced.size >= 3
+        np.testing.assert_allclose(voiced, np.log1p(220.0), atol=0.1)

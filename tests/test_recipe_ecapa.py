@@ -1,0 +1,167 @@
+"""ECAPA-TDNN recipe integration: train on synthetic speakers, then run the
+full-utterance verification eval (bucketed variable-length embedding +
+training-cohort s-norm) and assert the EER beats chance.
+
+VERDICT r1 #6: the eval path must consume full utterances (reference
+speaker_verification_cosine.py:572-746), not a fixed 3-s crop.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../examples/ECAPA-TDNN"))
+
+from mindaudio_tpu.data import io
+from mindaudio_tpu.loss.aam_softmax import aam_softmax_loss
+from mindaudio_tpu.metric.eer import get_eer
+
+SR = 16000
+N_SPK = 4
+
+
+def _utt(spk: int, seed: int, dur: float) -> np.ndarray:
+    """Speaker = distinct harmonic stack; utterance = noisy rendition."""
+    rng = np.random.default_rng(1000 * spk + seed)
+    t = np.arange(int(dur * SR)) / SR
+    f0 = 110 * (spk + 1)
+    x = sum(
+        a * np.sin(2 * np.pi * f0 * (h + 1) * t + rng.uniform(0, 6.28))
+        for h, a in enumerate([0.5, 0.25, 0.12, 0.06])
+    )
+    x = x * (1 + 0.3 * np.sin(2 * np.pi * rng.uniform(1, 3) * t))
+    return (x + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Train CSV (chunked segments) + eval rows at varied full lengths."""
+    root = tmp_path_factory.mktemp("voxmini")
+    train_rows, eval_rows = [], []
+    for spk in range(N_SPK):
+        for j in range(6):
+            dur = [1.2, 2.1, 3.4, 4.6][j % 4]
+            wav = root / f"spk{spk}_utt{j}.wav"
+            x = _utt(spk, j, dur)
+            io.write(str(wav), x, SR)
+            row = {
+                "ID": f"spk{spk}--utt{j}", "duration": str(dur),
+                "wav": str(wav), "start": "0", "stop": str(len(x)),
+                "spk_id": f"spk{spk}",
+            }
+            (train_rows if j < 4 else eval_rows).append(row)
+
+    train_csv = root / "train.csv"
+    with open(train_csv, "w", encoding="utf-8") as f:
+        f.write("ID,duration,wav,start,stop,spk_id\n")
+        for r in train_rows:
+            f.write(",".join(r[k] for k in
+                             ("ID", "duration", "wav", "start", "stop", "spk_id")) + "\n")
+    return str(train_csv), train_rows, eval_rows
+
+
+@pytest.fixture(scope="module")
+def trained(corpus):
+    """A briefly trained tiny SpeakerNet (same module the recipe trains)."""
+    from train_speaker_embeddings import SpeakerNet, extract_features
+
+    train_csv, train_rows, _ = corpus
+    model = SpeakerNet(n_classes=N_SPK, emb_dim=24,
+                       channels=(32, 32, 32, 32, 64))
+    seg = int(1.0 * SR)
+    wav0 = jnp.zeros((8, seg), jnp.float32)
+    feats0 = extract_features(wav0, n_mels=24)
+    variables = model.init(jax.random.PRNGKey(0), feats0)
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, wavs, labels):
+        def loss_fn(p):
+            feats = extract_features(wavs, n_mels=24)
+            (emb, cosine), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, feats,
+                deterministic=False, mutable=["batch_stats"],
+            )
+            loss = aam_softmax_loss(cosine, labels, margin=0.2, scale=30.0)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), new_bs, new_opt, loss
+
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    rng = np.random.default_rng(0)
+    loss = None
+    for it in range(60):
+        idx = rng.integers(0, len(train_rows), 8)
+        wavs = np.stack([
+            _utt(int(train_rows[i]["spk_id"][3:]), rng.integers(100, 200), 1.0)
+            for i in idx
+        ])
+        labels = np.asarray([int(train_rows[i]["spk_id"][3:]) for i in idx],
+                            np.int32)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(wavs), jnp.asarray(labels))
+    assert np.isfinite(float(loss))
+    return model, {"params": params, "batch_stats": batch_stats}
+
+
+class TestFullUtteranceVerification:
+    def test_eer_from_full_utterances(self, corpus, trained):
+        import speaker_verification_cosine as sv
+
+        train_csv, _, eval_rows = corpus
+        model, variables = trained
+
+        class Cfg:
+            features = type("F", (), {"n_mels": 24})
+
+        embed_fn = sv.make_embed_fn(model, variables, Cfg)
+        embs = sv.embed_rows(embed_fn, eval_rows)
+        assert set(embs) == {r["ID"] for r in eval_rows}
+        # utterances span several buckets → variable-length path exercised
+        lens = {sv._bucket_len(int(float(r["duration"]) * SR)) for r in eval_rows}
+        assert len(lens) >= 2
+
+        cohort = sv.training_cohort(embed_fn, train_csv, cohort_size=8)
+        assert cohort.shape[0] == 8
+
+        pairs = []
+        ids = [r["ID"] for r in eval_rows]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                pairs.append((int(a.split("--")[0] == b.split("--")[0]), a, b))
+
+        for coh in (None, cohort):
+            pos, neg = sv.score_trials(embs, pairs, coh)
+            assert pos and neg
+            eer, _ = get_eer(np.asarray(pos), np.asarray(neg))
+            assert eer < 0.35, f"EER {eer:.2f} no better than chance (cohort={coh is not None})"
+
+    def test_masked_embedding_ignores_padding(self, trained):
+        """Same audio, different pad lengths → same embedding (length-masked
+        pooling + masked mean normalization)."""
+        import speaker_verification_cosine as sv
+
+        model, variables = trained
+
+        class Cfg:
+            features = type("F", (), {"n_mels": 24})
+
+        embed_fn = sv.make_embed_fn(model, variables, Cfg)
+        x = _utt(1, 7, 1.5)
+        w1 = np.zeros((2, 2 * SR), np.float32)
+        w1[0, :len(x)] = x
+        w2 = np.zeros((2, 4 * SR), np.float32)
+        w2[0, :len(x)] = x
+        lens = jnp.asarray([len(x), 1], jnp.int32)
+        e1 = np.asarray(embed_fn(jnp.asarray(w1), lens))[0]
+        e2 = np.asarray(embed_fn(jnp.asarray(w2), lens))[0]
+        np.testing.assert_allclose(e1, e2, rtol=1e-4, atol=1e-4)

@@ -124,3 +124,40 @@ class TestDecodeModes:
         beam_hyps, _, _ = inf.ctc_prefix_beam_search(feats, lens)
         assert tuple(hyp) in [p for p, _ in beam_hyps]
         assert np.isfinite(score)
+
+
+@pytest.fixture(scope="module")
+def tiny_asr_batch(tiny_asr):
+    """A 3-utterance variable-length batch sharing tiny_asr's model."""
+    inf, _, _ = tiny_asr
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((3, 32, 20)).astype(np.float32)
+    feat_lens = np.array([32, 25, 19], np.int32)
+    return inf, feats, feat_lens
+
+
+class TestBatchedDecode:
+    """VERDICT r1 #8: batched prefix-beam + rescoring must equal the
+    sequential batch-1 paths (reference recognize.py:339-406 is batch-1)."""
+
+    def test_prefix_beam_batch_matches_sequential(self, tiny_asr_batch):
+        inf, feats, lens = tiny_asr_batch
+        batch_hyps, _, _ = inf.ctc_prefix_beam_search_batch(feats, lens)
+        assert len(batch_hyps) == 3
+        for b in range(3):
+            seq_hyps, _, _ = inf.ctc_prefix_beam_search(
+                feats[b:b + 1], lens[b:b + 1])
+            assert [p for p, _ in batch_hyps[b]] == [p for p, _ in seq_hyps]
+            np.testing.assert_allclose(
+                [s for _, s in batch_hyps[b]], [s for _, s in seq_hyps],
+                rtol=1e-5, atol=1e-5)
+
+    def test_rescoring_batch_matches_sequential(self, tiny_asr_batch):
+        inf, feats, lens = tiny_asr_batch
+        results = inf.attention_rescoring_batch(feats, lens)
+        assert len(results) == 3
+        for b, (hyp, score) in enumerate(results):
+            seq_hyp, seq_score = inf.attention_rescoring(
+                feats[b:b + 1], lens[b:b + 1])
+            assert hyp == seq_hyp
+            np.testing.assert_allclose(score, seq_score, rtol=1e-4, atol=1e-4)
