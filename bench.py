@@ -104,17 +104,23 @@ def conformer_train_bench(batch_size=16, seconds=10, label_len=20,
     )
 
     frame_len, frame_shift = 400, 160
-    n_frames = seconds * SR // frame_shift  # bucket frames
+    # pad 10 s of audio to the recipe's MXU-aligned 1027-frame bucket
+    # (t_sub = 256; examples/conformer/dataset.py BucketSampler) — unaligned
+    # t_sub costs ~8% of the step (PERF.md ablation)
+    n_frames = 1027
     wav_len = n_frames * frame_shift + frame_len
+    true_len = seconds * SR
 
     rng = np.random.default_rng(0)
-    wavs = rng.standard_normal((batch_size, wav_len)).astype(np.float32) * 0.1
+    wavs = np.zeros((batch_size, wav_len), np.float32)
+    wavs[:, :true_len] = rng.standard_normal(
+        (batch_size, true_len)).astype(np.float32) * 0.1
     labels = rng.integers(1, vocab - 1, (batch_size, label_len)).astype(np.int32)
     sos = eos = vocab - 1
     ys_in, ys_out = add_sos_eos(labels, sos, eos)
     batch = {
         "wavs": jnp.asarray(wavs),
-        "wav_lens": jnp.full((batch_size,), wav_len, jnp.int32),
+        "wav_lens": jnp.full((batch_size,), true_len, jnp.int32),
         "labels": jnp.asarray(labels),
         "label_lens": jnp.full((batch_size,), label_len, jnp.int32),
         "ys_in": jnp.asarray(ys_in.astype(np.int32)),
@@ -183,7 +189,9 @@ def conformer_train_bench(batch_size=16, seconds=10, label_len=20,
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
     mfu = (100.0 * flops / dt / peak) if (flops and peak) else None
-    t_sub = ((n_frames + 1 - 1) // 2 - 1) // 2  # Conv2dSubsampling4 output len
+    # tokens = VALID subsampled frames (10 s of real audio), not bucket pad
+    feat_valid = 1 + (true_len - frame_len) // frame_shift
+    t_sub = ((feat_valid - 1) // 2 - 1) // 2  # Conv2dSubsampling4 output len
     sub_frames = batch_size * t_sub
     out = {
         "metric": "conformer_train_mfu",

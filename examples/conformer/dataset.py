@@ -70,11 +70,19 @@ class BucketSampler:
     shape is the bucket shape — a bounded set of jit signatures.
     """
 
+    # Bucket frame limits are chosen so the 4x-subsampled length
+    # t_sub = (frames//2 - 1)//2 is a multiple of 8 (here: 56, 104, 152, 200,
+    # 256, 304, 376, 504, 752): odd/unaligned t_sub leaves the MXU tiling
+    # padded on every attention/FFN matmul — measured 8% of the whole train
+    # step at the 1000-frame bucket (PERF.md ablation t_aligned_1027).
+    DEFAULT_FRAME_BUCKETS = (227, 419, 611, 803, 1027, 1219, 1507, 2019, 3011)
+    DEFAULT_BATCH_BUCKETS = (96, 64, 48, 32, 24, 16, 12, 8, 4)
+
     def __init__(
         self,
         utts: Sequence[Utt],
-        frame_bucket_limit=(200, 400, 600, 800, 1000, 1200, 1500, 2000, 3000),
-        batch_bucket_limit=(96, 64, 48, 32, 24, 16, 12, 8, 4),
+        frame_bucket_limit=DEFAULT_FRAME_BUCKETS,
+        batch_bucket_limit=DEFAULT_BATCH_BUCKETS,
         batch_factor: float = 1.0,
         batch_multiple: int = 1,
         shuffle: bool = True,
@@ -211,14 +219,21 @@ def batch_iterator(
     batch_factor: float = 1.0,
     batch_multiple: int = 1,
     max_label_len: int = 30,
+    frame_bucket_limit=None,
+    batch_bucket_limit=None,
 ):
     """Epoch-looped stream of (bucket_frames, batch dict)."""
     utts = read_manifest(manifest_csv)
+    buckets = {}
+    if frame_bucket_limit is not None:
+        buckets["frame_bucket_limit"] = [int(f) for f in frame_bucket_limit]
+    if batch_bucket_limit is not None:
+        buckets["batch_bucket_limit"] = [int(b) for b in batch_bucket_limit]
     for epoch in range(epochs):
         sampler = BucketSampler(
             utts, shuffle=True, seed=seed + epoch, rank=rank,
             world_size=world_size, batch_factor=batch_factor,
-            batch_multiple=batch_multiple,
+            batch_multiple=batch_multiple, **buckets,
         )
         rng = np.random.default_rng(seed + epoch)
         for bucket_idx, batch_utts in sampler:

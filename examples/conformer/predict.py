@@ -31,10 +31,10 @@ from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.utils.recognize import ASRInference
 from mindaudio_tpu.utils.tokenizer import CharTokenizer
 
-from dataset import FRAME_LEN, FRAME_SHIFT, SAMPLE_RATE, read_manifest
+from dataset import BucketSampler, FRAME_LEN, FRAME_SHIFT, SAMPLE_RATE, read_manifest
 from train import build_model
 
-BUCKET_FRAMES = (200, 400, 600, 800, 1000, 1200, 1500, 2000, 3000)
+BUCKET_FRAMES = BucketSampler.DEFAULT_FRAME_BUCKETS  # MXU-aligned t_sub
 
 
 def pad_to_bucket(x: np.ndarray):
@@ -57,7 +57,20 @@ def main():
     avg_n = int(cfg.decode.average_num)
     ckpt_dir = cfg.train.ckpt_dir
     if avg_n > 1:
-        steps = list_steps(ckpt_dir)[-avg_n:]
+        # eval-loss-driven selection when training recorded scores (the
+        # published reference CER decodes avg_30 of the best-by-eval-loss
+        # checkpoints, callback.py:401-433); last-N otherwise
+        from mindaudio_tpu.train.checkpoint import load_scores
+
+        scores = load_scores(ckpt_dir)
+        if bool(cfg.decode.get("average_best", True)) and scores:
+            on_disk = set(list_steps(ckpt_dir))
+            ranked = [s for s, _ in sorted(scores.items(), key=lambda kv: kv[1])
+                      if s in on_disk]
+            steps = sorted(ranked[:avg_n])
+        else:
+            steps = list_steps(ckpt_dir)[-avg_n:]
+        print(f"averaging checkpoints: {steps}")
         ckpt = average_checkpoints(ckpt_dir, steps)
     else:
         ckpt = restore_checkpoint(ckpt_dir)

@@ -177,6 +177,8 @@ def main():
         batch_factor=float(cfg.data.batch_factor),
         batch_multiple=mesh.shape["data"],
         max_label_len=int(cfg.data.max_label_len),
+        frame_bucket_limit=cfg.data.get("frame_bucket_limit"),
+        batch_bucket_limit=cfg.data.get("batch_bucket_limit"),
     )
     epoch, frames, first = next(it)
     rng = jax.random.PRNGKey(0)
@@ -228,6 +230,8 @@ def main():
             batch_multiple=mesh.shape["data"],
             batch_factor=float(cfg.data.batch_factor),
             max_label_len=int(cfg.data.max_label_len),
+            frame_bucket_limit=cfg.data.get("frame_bucket_limit"),
+            batch_bucket_limit=cfg.data.get("batch_bucket_limit"),
         ):
             dev = {k: jax.device_put(jnp.asarray(v), data_sh)
                    for k, v in batch.items()}

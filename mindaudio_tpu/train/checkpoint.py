@@ -22,6 +22,7 @@ __all__ = [
     "restore_checkpoint",
     "average_checkpoints",
     "list_steps",
+    "load_scores",
     "CheckpointManager",
 ]
 
@@ -108,6 +109,17 @@ def average_checkpoints(directory, steps: Sequence[int], target=None):
     )
 
 
+def load_scores(directory):
+    """step -> eval metric recorded by a CheckpointManager in ``directory``."""
+    import json
+
+    path = os.path.join(os.path.abspath(directory), "eval_scores.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as f:
+        return {int(k): float(v) for k, v in json.load(f).items()}
+
+
 class CheckpointManager:
     """Rolling save with ``keep_max`` retention + best-by-metric tracking
     (the EvalCallback behavior, reference callback.py:256-448)."""
@@ -120,13 +132,24 @@ class CheckpointManager:
         # keep_max so "average the N best" always has its inputs on disk
         # (the reference keeps eval'd ckpts for averaging, callback.py:401)
         self.keep_best = keep_max if keep_best is None else keep_best
-        self.scores = {}  # step -> eval metric
+        # step -> eval metric, persisted so a later decode process can pick
+        # the best-N (the reference writes an eval-loss YAML per ckpt,
+        # callback.py:333-355)
+        self.scores = load_scores(self.directory)
 
     def save(self, state, step, eval_metric=None):
         save_checkpoint(self.directory, state, step)
         if eval_metric is not None:
             self.scores[step] = float(eval_metric)
+            self._write_scores()
         self._prune()
+
+    def _write_scores(self):
+        import json
+
+        path = os.path.join(self.directory, "eval_scores.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({str(k): v for k, v in self.scores.items()}, f)
 
     def _prune(self):
         steps = list_steps(self.directory)
@@ -135,11 +158,14 @@ class CheckpointManager:
         protected = set(steps[-self.keep_max:]) | set(self.best_steps(self.keep_best))
         import shutil
 
+        pruned = False
         for s in steps:
             if s not in protected:
                 shutil.rmtree(os.path.join(self.directory, f"step_{s}"),
                               ignore_errors=True)
-                self.scores.pop(s, None)  # a pruned step must drop its score
+                pruned = self.scores.pop(s, None) is not None or pruned
+        if pruned:  # a pruned step must drop its score
+            self._write_scores()
 
     def best_steps(self, n):
         """Top-n steps by (ascending) eval metric — feed to average_checkpoints."""

@@ -72,12 +72,13 @@ def parse_cli_to_yaml(cfg: Config, argv=None, parser: Optional[argparse.Argument
             key = f"{prefix}{k}"
             if isinstance(v, dict):
                 add_flags(key + ".", v)
-            elif isinstance(v, (int, float, str, bool)) or v is None:
+            elif isinstance(v, (int, float, str, bool, list)) or v is None:
                 # every flag parses as str; the YAML value is re-typed at
                 # merge time — a numeric default must not hard-reject a
                 # numeric override of a different kind (--ctc_weight 0.3
                 # over an int-zero default), and a null default must not
-                # lock the key to str forever
+                # lock the key to str forever. List keys take YAML syntax
+                # ("[200,400]"); a bare scalar becomes a one-element list.
                 parser.add_argument(f"--{key}", type=str, default=None)
 
     add_flags("", cfg)
@@ -92,6 +93,8 @@ def parse_cli_to_yaml(cfg: Config, argv=None, parser: Optional[argparse.Argument
             return raw
         if isinstance(old, str) and not isinstance(parsed, str):
             return raw  # string-typed keys keep the literal text
+        if isinstance(old, list) and not isinstance(parsed, list):
+            return [parsed]  # bare scalar over a list key → one-element list
         return parsed
 
     for key, val in vars(args).items():

@@ -323,3 +323,61 @@ class TestReviewRegressions:
         third = get_logger("t_reconf")
         assert any(getattr(h, "baseFilename", "").startswith(str(tmp_path))
                    for h in third.handlers)
+
+
+class TestConfigListFlags:
+    def test_list_key_cli_override(self, tmp_path):
+        import yaml
+
+        from mindaudio_tpu.train.config import get_config
+
+        cfg_file = tmp_path / "c.yaml"
+        cfg_file.write_text(yaml.safe_dump(
+            {"data": {"frame_bucket_limit": [200, 400], "batch": 8}}))
+        cfg = get_config(str(cfg_file),
+                         argv=["--data.frame_bucket_limit", "[227, 419]"])
+        assert cfg.data.frame_bucket_limit == [227, 419]
+        # bare scalar over a list key becomes a one-element list
+        cfg = get_config(str(cfg_file), argv=["--data.frame_bucket_limit", "227"])
+        assert cfg.data.frame_bucket_limit == [227]
+
+
+class TestPersistedEvalScores:
+    def test_scores_survive_process_restart(self, tmp_path):
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.train.checkpoint import CheckpointManager, load_scores
+
+        d = str(tmp_path / "ck")
+        m = CheckpointManager(d, keep_max=5)
+        for step, loss in [(100, 3.0), (200, 1.0), (300, 2.0)]:
+            m.save({"w": jnp.ones((2,)) * step}, step, eval_metric=loss)
+        # a fresh manager (new process) sees the recorded scores
+        m2 = CheckpointManager(d, keep_max=5)
+        assert m2.best_steps(2) == [200, 300]
+        assert load_scores(d) == {100: 3.0, 200: 1.0, 300: 2.0}
+
+
+class TestFastDropoutRng:
+    def test_key_data_roundtrip(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.train.state import as_dropout_key, fast_dropout_rng
+
+        rng = fast_dropout_rng(7)
+        key = as_dropout_key(rng)
+        # fold_in + bits works whatever the impl
+        sub = jax.random.fold_in(key, 3)
+        bits = jax.random.bits(sub, (4,))
+        assert bits.shape == (4,)
+        # typed keys pass through; legacy (2,) data wraps as threefry
+        assert as_dropout_key(key) is key
+        legacy = jax.random.PRNGKey(0)
+        v1 = jax.random.normal(as_dropout_key(legacy), (3,))
+        v2 = jax.random.normal(legacy, (3,))
+        assert jnp.allclose(v1, v2)
+        # rbg key data (4,) wraps as rbg and is usable
+        rbg_data = jax.random.key_data(jax.random.key(1, impl="rbg"))
+        out = jax.random.normal(as_dropout_key(rbg_data), (3,))
+        assert out.shape == (3,)
