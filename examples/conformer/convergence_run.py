@@ -107,6 +107,7 @@ def _args(root: str, steps: int):
         "--train.log_every_steps", "50",
         "--train.save_every_steps", "250",
         "--train.keep_checkpoint_max", "12",
+        "--train.resume", "true",   # re-running the stage continues the run
         "--train.ckpt_dir", f"{root}/ckpt",
         "--decode.max_tgt_len", "16",
         "--decode.mode", "ctc_greedy",

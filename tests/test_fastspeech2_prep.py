@@ -14,6 +14,17 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../examples/fastspeech2"))
 
+RECIPE_DIR = os.path.join(os.path.dirname(__file__), "../examples/fastspeech2")
+
+
+def _own_recipe_modules():
+    """Drop recipe-local modules cached by OTHER example dirs' tests and put
+    this recipe first on sys.path (call at test time, not collection time)."""
+    for mod in ("dataset", "train", "preprocess", "predict", "text"):
+        sys.modules.pop(mod, None)
+    if sys.path[0] != RECIPE_DIR:
+        sys.path.insert(0, RECIPE_DIR)
+
 from mindaudio_tpu.data.textgrid import alignment_to_durations, read_textgrid
 
 SR = 22050
@@ -137,6 +148,7 @@ class TestTextGridParser:
 
 class TestPhonesToSequence:
     def test_mfa_labels(self):
+        _own_recipe_modules()
         from text import _symbol_to_id, phones_to_sequence
 
         seq = phones_to_sequence(["HH", "AH0", "L", "OW1", "sp", "XYZ"])
@@ -188,6 +200,7 @@ class TestPreprocessWithTextGrid:
     def test_end_to_end(self, tmp_path, monkeypatch):
         """preprocess.main() consumes a .TextGrid: phones from the alignment,
         wav trimmed to the aligned span, durations sum to the mel frames."""
+        _own_recipe_modules()
         import preprocess as prep
         from text import _symbol_to_id
 

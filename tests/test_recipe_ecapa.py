@@ -17,6 +17,21 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../examples/ECAPA-TDNN"))
 
+RECIPE_DIR = os.path.join(os.path.dirname(__file__), "../examples/ECAPA-TDNN")
+
+
+def _own_recipe_modules():
+    """Recipe-local module names (dataset, train, ...) collide across example
+    dirs when several recipe tests run in one pytest process: drop cached
+    ones and put THIS recipe first on sys.path (run inside fixtures — at
+    test time, not collection time)."""
+    for mod in ("dataset", "train_speaker_embeddings",
+                "speaker_verification_cosine", "train", "preprocess",
+                "predict", "text"):
+        sys.modules.pop(mod, None)
+    if sys.path[0] != RECIPE_DIR:
+        sys.path.insert(0, RECIPE_DIR)
+
 from mindaudio_tpu.data import io
 from mindaudio_tpu.loss.aam_softmax import aam_softmax_loss
 from mindaudio_tpu.metric.eer import get_eer
@@ -68,6 +83,7 @@ def corpus(tmp_path_factory):
 @pytest.fixture(scope="module")
 def trained(corpus):
     """A briefly trained tiny SpeakerNet (same module the recipe trains)."""
+    _own_recipe_modules()
     from train_speaker_embeddings import SpeakerNet, extract_features
 
     train_csv, train_rows, _ = corpus
