@@ -188,34 +188,46 @@ def main():
     )
     init_batch = {k: jnp.asarray(v) for k, v in first.items()}
     init_batch.update(feats=feats, feat_lens=feat_lens)
-    params = model.init(rng, init_batch, chunk_rng=rng)["params"]
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
-    logger.info("params: %.1fM", n_params / 1e6)
 
     schedule = asr_warmup_lr(cfg.optim.lr, cfg.optim.warmup_steps)
     tx = optax.adamw(schedule, weight_decay=cfg.optim.weight_decay)
-    state = TrainState.create(
-        apply_fn=model.apply, params=params, tx=tx,
-        dropout_rng=fast_dropout_rng(42),
-    )
 
     # resume: restore params/opt_state/step from the latest checkpoint
     # (reference ResumeCallback + start_steps LR offset, callback.py:450,
     # examples/conformer/train.py:118-133 — the step count lives in the state
-    # so the Noam schedule resumes at the right point automatically)
+    # so the Noam schedule resumes at the right point automatically).
+    # Restoring targets an ABSTRACT (eval_shape) state: no throwaway 46M-param
+    # device init just to be overwritten — restarts are disk-bound, not
+    # compile/init-bound.
     from mindaudio_tpu.train.checkpoint import list_steps, restore_checkpoint
 
-    if bool(cfg.train.get("resume", False)) and list_steps(cfg.train.ckpt_dir):
-        target = jax.device_get({
-            "params": state.params, "opt_state": state.opt_state,
-            "step": state.step,
-        })
+    resume_step = (list_steps(cfg.train.ckpt_dir)
+                   if bool(cfg.train.get("resume", False)) else [])
+    if resume_step:
+        abstract = jax.eval_shape(
+            lambda: model.init(rng, init_batch, chunk_rng=rng))["params"]
+        target = {
+            "params": abstract,
+            "opt_state": jax.eval_shape(tx.init, abstract),
+            "step": jax.ShapeDtypeStruct((), jnp.int32),
+        }
         restored = restore_checkpoint(cfg.train.ckpt_dir, target=target)
-        state = state.replace(
-            params=restored["params"], opt_state=restored["opt_state"],
-            step=restored["step"],
+        params = restored["params"]
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx,
+            dropout_rng=fast_dropout_rng(42),
         )
+        state = state.replace(opt_state=restored["opt_state"],
+                              step=jnp.asarray(restored["step"], jnp.int32))
         logger.info("resumed from step %d", int(state.step))
+    else:
+        params = model.init(rng, init_batch, chunk_rng=rng)["params"]
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx,
+            dropout_rng=fast_dropout_rng(42),
+        )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+    logger.info("params: %.1fM", n_params / 1e6)
 
     st_sh = state_shardings(state, mesh)
     state = jax.device_put(state, st_sh)

@@ -203,9 +203,13 @@ class RelPositionMultiHeadedAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, t, d_model)
             return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
 
-        matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
-        matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, p)
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(
+        # one augmented-head contraction instead of two: [q+u; q+v]·[k; p]
+        # = (q+u)·k + (q+v)·p, and K=2*d_k=128 fills the MXU lane dim exactly
+        q_aug = jnp.concatenate([q_u, q_v], axis=-1)
+        k_aug = jnp.concatenate(
+            [k, jnp.broadcast_to(p.astype(k.dtype), k.shape)], axis=-1
+        )
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q_aug, k_aug) / jnp.sqrt(
             jnp.asarray(d_k, jnp.float32)
         ).astype(self.dtype)
 

@@ -496,7 +496,12 @@ def kaldi_fbank(
     frame_shift = int(sample_rate * frame_shift_ms / 1000)
     n_fft = 1 << (frame_length - 1).bit_length()  # next pow2, kaldi-style
 
-    x = waveforms.astype(jnp.float32) * 32768.0
+    # float input in [-1, 1] is scaled to the int16 range like kaldi;
+    # integer input (e.g. the collate shipping raw int16 PCM to halve
+    # host->device bytes) is already in that range — just cast
+    x = waveforms.astype(jnp.float32)
+    if not jnp.issubdtype(waveforms.dtype, jnp.integer):
+        x = x * 32768.0
     n_frames = 1 + (x.shape[-1] - frame_length) // frame_shift
 
     # snip-edges framing at frame_length, then per-frame DSP before the DFT

@@ -257,3 +257,19 @@ class TestKaldiParityRegressions:
 
         with pytest.raises(ValueError):
             melscale_fbanks(201, 0.0, 8000.0, 80, 16000, norm="ortho")
+
+
+class TestKaldiFbankInt16:
+    def test_int16_matches_float_input(self):
+        """The collate ships raw int16 PCM (half the H2D bytes); device fbank
+        must produce the same features as the normalized-float path."""
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.ops.spectral import kaldi_fbank
+
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-20000, 20000, (2, 8000)).astype(np.int16)
+        f_int = np.asarray(kaldi_fbank(jnp.asarray(pcm), num_mel_bins=23))
+        f_flt = np.asarray(kaldi_fbank(
+            jnp.asarray(pcm.astype(np.float32) / 32768.0), num_mel_bins=23))
+        np.testing.assert_allclose(f_int, f_flt, rtol=1e-4, atol=1e-4)
