@@ -92,20 +92,77 @@ def main():
 
     from mindaudio_tpu.data import io
 
+    def load_wav(u):
+        x, sr = io.read(u.wav)
+        x = np.asarray(x, np.float32)
+        if x.ndim > 1:
+            x = x[:, 0]
+        if sr != SAMPLE_RATE:  # match the training collate's resample
+            from mindaudio_tpu.data.processing import resample
+
+            x = resample(x, sr, SAMPLE_RATE)
+        return x
+
     refs, hyps = [], []
     result_path = str(cfg.decode.get("result_file", "")) or os.path.join(
         os.path.dirname(__file__), "result.txt"
     )
-    with open(result_path, "w", encoding="utf-8") as out:
-        for u in read_manifest(cfg.data.test_csv):
-            x, sr = io.read(u.wav)
-            x = np.asarray(x, np.float32)
-            if x.ndim > 1:
-                x = x[:, 0]
-            if sr != SAMPLE_RATE:  # match the training collate's resample
-                from mindaudio_tpu.data.processing import resample
+    utts = read_manifest(cfg.data.test_csv)
 
-                x = resample(x, sr, SAMPLE_RATE)
+    if mode in ("ctc_greedy", "ctc_prefix_beam", "attention_rescoring"):
+        # batched decode: utterances grouped into (bucket, B) batches feed
+        # ONE encoder program per batch (and one decoder pass for all
+        # B*beam rescoring hypotheses) — RTF drops ~50x vs per-utterance
+        # round trips (PERF.md); greedy stays exact, beam modes identical to
+        # sequential (tests/test_recognize.py TestBatchedDecode)
+        decode_bs = int(cfg.decode.get("batch_size", 16))
+        by_bucket = {}
+        for u in utts:
+            x = load_wav(u)
+            n_frames = max(1, 1 + (len(x) - FRAME_LEN) // FRAME_SHIFT)
+            for limit in BUCKET_FRAMES:
+                if n_frames <= limit:
+                    break
+            by_bucket.setdefault(limit, []).append((u, x))
+
+        results = {}
+        for limit, items in sorted(by_bucket.items()):
+            wav_len = limit * FRAME_SHIFT + FRAME_LEN
+            for i in range(0, len(items), decode_bs):
+                chunk = items[i:i + decode_bs]
+                wavs = np.zeros((len(chunk), wav_len), np.float32)
+                lens = np.zeros((len(chunk),), np.int32)
+                for j, (_, x) in enumerate(chunk):
+                    n = min(len(x), wav_len)
+                    wavs[j, :n] = x[:n]
+                    lens[j] = n
+                feats = np.asarray(fbank(jnp.asarray(wavs)))
+                feat_lens = 1 + (lens - FRAME_LEN) // FRAME_SHIFT
+                if mode == "ctc_greedy":
+                    batch_hyps = inference.ctc_greedy_search(feats, feat_lens)[0]
+                elif mode == "ctc_prefix_beam":
+                    bh, _, _ = inference.ctc_prefix_beam_search_batch(
+                        feats, feat_lens)
+                    batch_hyps = [list(h[0][0]) for h in bh]
+                else:
+                    batch_hyps = [h for h, _ in
+                                  inference.attention_rescoring_batch(feats, feat_lens)]
+                for (u, _), hyp_ids in zip(chunk, batch_hyps):
+                    results[u.utt_id] = hyp_ids
+
+        with open(result_path, "w", encoding="utf-8") as out:
+            for u in utts:
+                hyp = tokenizer.decode(results[u.utt_id])
+                refs.append("".join(u.text.split()))
+                hyps.append(hyp)
+                out.write(f"{u.utt_id} {hyp}\n")
+        score = cer(refs, hyps)
+        print(f"mode={mode} utts={len(refs)} CER={100 * score:.2f}%")
+        return score
+
+    with open(result_path, "w", encoding="utf-8") as out:
+        for u in utts:
+            x = load_wav(u)
             wavs, wav_lens = pad_to_bucket(x)
             feats = np.asarray(fbank(jnp.asarray(wavs)))
             feat_lens = 1 + (wav_lens - FRAME_LEN) // FRAME_SHIFT
@@ -122,16 +179,10 @@ def main():
                     if lo + 7 <= raw
                 ]
                 hyp_ids = inference.streaming_ctc_greedy(chunks)
-            elif mode == "ctc_greedy":
-                hyp_ids = inference.ctc_greedy_search(feats, feat_lens)[0][0]
-            elif mode == "ctc_prefix_beam":
-                hyp_ids = list(
-                    inference.ctc_prefix_beam_search(feats, feat_lens)[0][0][0]
-                )
             elif mode == "attention":
                 hyp_ids = inference.recognize(feats, feat_lens)[0]
-            else:  # attention_rescoring
-                hyp_ids = inference.attention_rescoring(feats, feat_lens)[0]
+            else:
+                raise ValueError(f"unknown decode mode {mode}")
 
             hyp = tokenizer.decode(hyp_ids)
             ref = "".join(u.text.split())
@@ -141,6 +192,7 @@ def main():
 
     score = cer(refs, hyps)
     print(f"mode={mode} utts={len(refs)} CER={100 * score:.2f}%")
+    return score
 
 
 if __name__ == "__main__":

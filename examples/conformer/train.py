@@ -204,6 +204,8 @@ def main():
     resume_step = (list_steps(cfg.train.ckpt_dir)
                    if bool(cfg.train.get("resume", False)) else [])
     if resume_step:
+        logger.info("restoring from %s (step %d)", cfg.train.ckpt_dir,
+                    resume_step[-1])
         abstract = jax.eval_shape(
             lambda: model.init(rng, init_batch, chunk_rng=rng))["params"]
         target = {
