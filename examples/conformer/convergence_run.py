@@ -40,10 +40,14 @@ UNIT_S = 0.14  # seconds per character unit
 
 
 def _unit_wave(char_idx: int, rng: np.random.Generator, pitch_scale: float):
-    """One character's audio unit: f0 + 2 partials, vibrato, ADSR envelope."""
+    """One character's audio unit: f0 + 2 partials, vibrato, ADSR envelope.
+
+    f0 spacing is GEOMETRIC (6% per character) so the per-utterance speaker
+    pitch scale (±1.5%) can never alias two characters — linear 22 Hz
+    spacing with ±10% scale made neighbors acoustically identical."""
     n = int(UNIT_S * SR)
     t = np.arange(n) / SR
-    f0 = (320.0 + 22.0 * char_idx) * pitch_scale
+    f0 = 300.0 * (1.06 ** char_idx) * pitch_scale
     vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4, 7) * t + rng.uniform(0, 6.28))
     phase = 2 * np.pi * np.cumsum(f0 * vib) / SR
     amp = rng.uniform(0.25, 0.45)
@@ -56,7 +60,7 @@ def _unit_wave(char_idx: int, rng: np.random.Generator, pitch_scale: float):
 
 
 def synth_utt(text: str, rng: np.random.Generator) -> np.ndarray:
-    pitch_scale = rng.uniform(0.9, 1.1)  # per-utterance "speaker"
+    pitch_scale = rng.uniform(0.985, 1.015)  # per-utterance "speaker"
     parts = [np.zeros(int(rng.uniform(0.05, 0.12) * SR), np.float64)]
     for ch in text:
         parts.append(_unit_wave(VOCAB.index(ch), rng, pitch_scale))

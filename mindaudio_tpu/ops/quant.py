@@ -1,0 +1,204 @@
+"""Weight-only int8 matmul for serving (Pallas TPU kernel + host reference).
+
+Small-batch inference (streaming ASR, beam steps) is weight-bound: a
+(T, 256) @ (256, 2048) FFN matmul at T<=64 reads ~1 MB of weights per ~0.1
+MFLOP. Storing weights as int8 with per-output-channel scales halves the
+HBM traffic vs bf16 (4x vs f32) — the dequantize happens in VMEM inside the
+kernel, so the bf16 copy never exists in HBM. On the MXU the matmul still
+runs in bf16 with f32 accumulation, so results match the bf16 path to
+quantization error (~1e-2 relative for unit-scale weights).
+
+No reference counterpart (the reference serves fp16 graphs); this is the
+TPU-native production-serving building block. Use:
+
+    wq, scale = quantize_int8(w)           # offline, per output channel
+    y = int8_matmul(x, wq, scale)          # == x @ (wq * scale), fused
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "quantize_int8",
+    "int8_matmul",
+    "dequantize_int8",
+    "quantize_dense_params",
+    "intercept_dense_int8",
+    "strip_quantized",
+]
+
+
+def quantize_int8(w):
+    """Per-output-channel symmetric int8 quantization.
+
+    Args:
+        w: (K, N) float weights.
+
+    Returns:
+        (values int8 (K, N), scales f32 (N,)) with
+        ``values * scales ≈ w``.
+    """
+    w = np.asarray(w, np.float32)
+    amax = np.maximum(np.abs(w).max(axis=0), 1e-12)
+    scales = (amax / 127.0).astype(np.float32)
+    values = np.clip(np.round(w / scales[None, :]), -127, 127).astype(np.int8)
+    return values, scales
+
+
+def dequantize_int8(values, scales):
+    """Host/jnp reference: (K, N) int8 * (N,) scales → f32."""
+    return jnp.asarray(values, jnp.float32) * jnp.asarray(scales)[None, :]
+
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
+    # x: (TM, K) bf16 — w: (K, TN) int8 — s: (1, TN) f32 — o: (TM, TN) f32
+    w = w_ref[:].astype(jnp.bfloat16) * s_ref[:].astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def int8_matmul(x, values, scales, block_m=128, block_n=128, interpret=False):
+    """``x @ (values * scales)`` with int8 weights dequantized in VMEM.
+
+    Args:
+        x: (..., K) activations (any float dtype; computed in bf16).
+        values: (K, N) int8 weights.
+        scales: (N,) f32 per-output-channel scales.
+
+    Returns:
+        (..., N) in x's dtype (f32 accumulation inside).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_dtype = x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = values.shape[1]
+    x2 = x.reshape(-1, k).astype(jnp.bfloat16)
+    m = x2.shape[0]
+
+    # pad to tile multiples (the MXU wants aligned tiles; K is unpadded —
+    # it is the contraction dim and d_model/ffn dims are already 128-aligned
+    # in this framework)
+    xp = _pad_to(x2, block_m, 0)
+    wp = _pad_to(values, block_n, 1)
+    sp = _pad_to(scales.reshape(1, -1).astype(jnp.float32), block_n, 1)
+    mp, np_ = xp.shape[0], wp.shape[1]
+
+    grid = (mp // block_m, np_ // block_n)
+    out = pl.pallas_call(
+        _int8_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:m, :n].reshape(*lead, n).astype(orig_dtype)
+
+
+def quantize_dense_params(params, min_weights=65536):
+    """Pre-quantize every large 2-D ``kernel`` leaf of a params tree.
+
+    Walks ``params``; a leaf at ``(..., 'kernel')`` with 2 dims and at least
+    ``min_weights`` elements gets a per-channel int8 table. Returns
+    ``{module_path_tuple: (values int8, scales f32)}`` keyed by the OWNING
+    module's path (what ``context.module.path`` reports inside
+    ``nn.intercept_methods``). Small kernels stay bf16 — they are not
+    weight-traffic-bound and quantization error buys nothing.
+    """
+    import jax.tree_util as jtu
+
+    tables = {}
+    flat = jtu.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "name", None)) for p in path)
+        if keys[-1:] == ("kernel",) and getattr(leaf, "ndim", 0) == 2 \
+                and leaf.size >= min_weights:
+            tables[keys[:-1]] = quantize_int8(np.asarray(leaf))
+    return tables
+
+
+def intercept_dense_int8(tables, interpret=None):
+    """Context manager: route matching ``nn.Dense`` calls through
+    :func:`int8_matmul` with the pre-quantized weights.
+
+    Use around ``model.apply`` (including inside jit tracing). Modules whose
+    path is not in ``tables`` run unchanged. ``interpret`` defaults to True
+    off-TPU so the Pallas kernel runs in interpreter mode in CPU tests.
+    """
+    import flax.linen as nn
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    jtables = {
+        path: (jnp.asarray(v), jnp.asarray(s)) for path, (v, s) in tables.items()
+    }
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (isinstance(mod, nn.Dense) and context.method_name == "__call__"
+                and tuple(mod.path) in jtables):
+            vq, sc = jtables[tuple(mod.path)]
+            x = args[0]
+            y = int8_matmul(x, vq, sc, interpret=interpret)
+            if mod.use_bias:
+                bias = mod.get_variable("params", "bias")
+                y = y + jnp.asarray(bias, y.dtype)
+            return y
+        return next_fun(*args, **kwargs)
+
+    return nn.intercept_methods(interceptor)
+
+
+def strip_quantized(params, tables):
+    """Replace quantized kernels with empty placeholders to free HBM.
+
+    Under :func:`intercept_dense_int8` those kernels are never read; the
+    returned tree keeps the structure (flax never validates unused leaves)
+    while dropping the f32 copies.
+    """
+    import jax.tree_util as jtu
+
+    def walk(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {
+                k: (jnp.zeros((0,), jnp.float32)
+                    if k == "kernel" and prefix in tables
+                    else walk(v, prefix + (k,)))
+                for k, v in tree.items()
+            }
+        return tree
+
+    # flax params may be a FrozenDict
+    try:
+        from flax.core import FrozenDict, freeze, unfreeze
+
+        if isinstance(params, FrozenDict):
+            return freeze(walk(unfreeze(params)))
+    except Exception:
+        pass
+    return walk(params)

@@ -90,7 +90,8 @@ class ASRInference:
     """
 
     def __init__(self, model, variables, beam_size=10, ctc_weight=0.3,
-                 max_tgt_len=50, blank_id=0, sos=None, eos=None):
+                 max_tgt_len=50, blank_id=0, sos=None, eos=None,
+                 weight_quant="none", weight_quant_min_size=65536):
         self.model = model
         self.variables = variables
         self.beam_size = beam_size
@@ -99,6 +100,34 @@ class ASRInference:
         self.blank_id = blank_id
         self.sos = model.vocab_size - 1 if sos is None else sos
         self.eos = model.vocab_size - 1 if eos is None else eos
+
+        # weight_quant="int8": serve with weight-only int8 — every large
+        # Dense kernel is pre-quantized per-channel and its matmul routed
+        # through the Pallas dequant-in-VMEM kernel (ops/quant.py). Halves
+        # weight HBM traffic, which bounds small-batch/streaming decode; the
+        # f32 copies are stripped from the live params to free HBM.
+        self._apply = model.apply
+        if weight_quant == "int8":
+            from ..ops.quant import (
+                intercept_dense_int8,
+                quantize_dense_params,
+                strip_quantized,
+            )
+
+            tables = quantize_dense_params(
+                variables["params"], min_weights=weight_quant_min_size)
+            self.variables = dict(
+                variables,
+                params=strip_quantized(variables["params"], tables),
+            )
+
+            def apply_q(*args, **kwargs):
+                with intercept_dense_int8(tables):
+                    return model.apply(*args, **kwargs)
+
+            self._apply = apply_q
+        elif weight_quant != "none":
+            raise ValueError(f"unknown weight_quant {weight_quant!r}")
 
         self._encode_jit = jax.jit(self._encode)
         self._encode_greedy = jax.jit(self._encode_greedy_impl)
@@ -109,10 +138,10 @@ class ASRInference:
     # ---- device programs ----
 
     def _encode(self, feats, feat_lens):
-        enc_out, enc_mask = self.model.apply(
+        enc_out, enc_mask = self._apply(
             self.variables, feats, feat_lens, method=self.model.encode
         )
-        log_probs = self.model.apply(
+        log_probs = self._apply(
             self.variables, enc_out, method=self.model.ctc_log_probs
         )
         return enc_out, enc_mask, log_probs
@@ -147,7 +176,7 @@ class ASRInference:
         def body(i, carry):
             hyps, scores, end_flag = carry
             lens = jnp.full((beam,), i + 1, jnp.int32)
-            logits = self.model.apply(
+            logits = self._apply(
                 self.variables, memory, mem_mask, hyps, lens,
                 method=self.model.decoder_logits,
             )
@@ -179,7 +208,7 @@ class ASRInference:
         beam = hyps_in.shape[0] // enc_out.shape[0]
         memory = jnp.repeat(enc_out, beam, axis=0)
         mem_mask = jnp.repeat(enc_mask, beam, axis=0)
-        logits = self.model.apply(
+        logits = self._apply(
             self.variables, memory, mem_mask, hyps_in, hyps_lens,
             method=self.model.decoder_logits,
         )
@@ -263,7 +292,7 @@ class ASRInference:
         hyp: List[int] = []
         prev = self.blank_id
         for chunk in feat_chunks:
-            log_probs, att_caches, cnn_caches = self.model.apply(
+            log_probs, att_caches, cnn_caches = self._apply(
                 self.variables, jnp.asarray(chunk), att_caches, cnn_caches,
                 required_cache_size, method=self.model.encode_chunk,
             )
