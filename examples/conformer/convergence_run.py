@@ -101,6 +101,10 @@ def _args(root: str, steps: int):
         "--data.vocab_file", f"{root}/lang_char.txt",
         "--data.cmvn_file", f"{root}/global_cmvn.json",
         "--data.speed_perturb", "false",
+        # SpecAugment off: cipher characters are independent (no
+        # coarticulation/LM context), so a 50-frame time mask hides ~3.5
+        # whole characters and puts an irreducible floor under the loss
+        "--features.spec_aug", "false",
         # all utts are 0.9-2.1 s -> one (227-frame, B=64) bucket: a single
         # jitted train-step shape, MXU-aligned (t_sub = 56)
         "--data.frame_bucket_limit", "227",

@@ -213,6 +213,12 @@ def main():
             "opt_state": jax.eval_shape(tx.init, abstract),
             "step": jax.ShapeDtypeStruct((), jnp.int32),
         }
+        # numpy leaves → orbax restores to HOST arrays; the single
+        # host→device upload happens at the sharded device_put below
+        # (abstract jax targets would restore straight to the default
+        # device and then device_put again — 2x the transfer)
+        target = jax.tree_util.tree_map(
+            lambda l: np.zeros(l.shape, l.dtype), target)
         restored = restore_checkpoint(cfg.train.ckpt_dir, target=target)
         params = restored["params"]
         state = TrainState.create(
@@ -268,6 +274,10 @@ def main():
         dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
         return epoch, frames, dev
 
+    # checkpoints are named (and max_steps counted) by the GLOBAL optimizer
+    # step — a resumed process must not rename/overwrite earlier steps with
+    # its local counter, or the next resume restores stale params
+    start_step = int(jax.device_get(state.step))
     step_count = 0
     _, _, first_dev = to_device((epoch, frames, first))
     state, metrics = step_fn(state, first_dev)
@@ -276,12 +286,13 @@ def main():
     for epoch, frames, batch in prefetch(it, size=2, transform=to_device):
         state, metrics = step_fn(state, batch)
         step_count += 1
+        gstep = start_step + step_count
         if step_count % int(cfg.train.log_every_steps) == 0:
             m = {k: float(v) for k, v in metrics.items()}
             logger.info(
                 "epoch %d step %d bucket %d loss %.4f (att %.4f ctc %.4f acc %.3f) "
                 "%.2f s/step",
-                epoch, step_count, frames, m["loss"], m["loss_att"],
+                epoch, gstep, frames, m["loss"], m["loss_att"],
                 m["loss_ctc"], m["acc_att"], (time.time() - t0) / step_count,
             )
         if step_count % int(cfg.train.save_every_steps) == 0:
@@ -290,20 +301,20 @@ def main():
             # logging and the checkpoint write are rank-0
             dev_loss = eval_loss(state)
             if jax.process_index() == 0:
-                logger.info("eval @ step %d: dev loss %.4f", step_count, dev_loss)
+                logger.info("eval @ step %d: dev loss %.4f", gstep, dev_loss)
                 ckpt.save(jax.device_get({
                     "params": state.params, "opt_state": state.opt_state,
                     "step": state.step,
-                }), step_count, eval_metric=dev_loss)
-        if max_steps and step_count >= max_steps:
+                }), gstep, eval_metric=dev_loss)
+        if max_steps and start_step + step_count >= max_steps:
             break
 
     if jax.process_index() == 0:
         ckpt.save(jax.device_get({
             "params": state.params, "opt_state": state.opt_state,
             "step": state.step,
-        }), step_count)
-    logger.info("done: %d steps", step_count)
+        }), start_step + step_count)
+    logger.info("done: %d steps (global %d)", step_count, start_step + step_count)
 
 
 if __name__ == "__main__":
