@@ -10,11 +10,25 @@ measures actual acoustic decoding on HELD-OUT utterances, not memorization —
 while staying fully reproducible. ~2 h of train audio (4096 utts), 128 dev,
 128 test.
 
-Stages (each its own process so a single run fits a bounded window):
+Stages (each its own process so a single run fits a bounded window;
+``train`` resumes from the last checkpoint, so re-running extends the run):
     python convergence_run.py gen     [--root DIR]
-    python convergence_run.py train   [--root DIR] [--steps 2400]
-    python convergence_run.py decode  [--root DIR] [--avg N]
+    python convergence_run.py train   [--steps N] [--extra <train.py flags>]
+    python convergence_run.py decode  [--root DIR] [--avg N] [--mode M]
     python convergence_run.py report  [--root DIR]
+
+Training protocol (what actually converges — measured, see PERF.md):
+    # phase 1, CTC-first: the encoder must learn frame-level acoustics
+    # before the decoder gets real gradient. Training hybrid 0.3/0.7 from
+    # scratch let the decoder partially memorize transcripts from
+    # utterance-signature features and the encoder never escaped that
+    # basin (CTC stuck at chance for 8000 steps, warm restarts included);
+    # CTC-first from scratch cracks the alignment in <900 steps.
+    python convergence_run.py train --steps 3000 \
+        --extra --model.ctc_weight 0.99 --optim.lr 0.002
+    # phase 2, hybrid: decoder learns on top of locked acoustic features
+    python convergence_run.py train --steps 6000 \
+        --extra --model.ctc_weight 0.5 --optim.lr 0.001
 
 The train stage drives examples/conformer/train.py's main() unchanged (bucket
 batching, on-device fbank+SpecAugment, eval-loss checkpointing); the decode
@@ -109,8 +123,14 @@ def _args(root: str, steps: int):
         # jitted train-step shape, MXU-aligned (t_sub = 56)
         "--data.frame_bucket_limit", "227",
         "--data.batch_bucket_limit", "64",
-        "--optim.epochs", "100",
+        "--optim.epochs", "400",
         "--optim.warmup_steps", "500",
+        # 2x the AISHELL base lr: the CTC plateau→cliff transition scales
+        # with lr and the Noam decay has it at ~4e-4 by step 3k
+        "--optim.lr", "0.002",
+        # equal CTC/attention weight: on this corpus the decoder can partially
+        # memorize transcripts, starving the encoder of alignment gradient
+        "--model.ctc_weight", "0.5",
         "--train.max_steps", str(steps),
         "--train.log_every_steps", "50",
         "--train.save_every_steps", "250",
@@ -123,8 +143,8 @@ def _args(root: str, steps: int):
     ]
 
 
-def train(root: str, steps: int):
-    sys.argv = ["train.py"] + _args(root, steps)
+def train(root: str, steps: int, extra=()):
+    sys.argv = ["train.py"] + _args(root, steps) + list(extra)
     import compute_cmvn_stats
 
     if not os.path.exists(f"{root}/global_cmvn.json"):
@@ -167,8 +187,12 @@ if __name__ == "__main__":
     elif stage == "train":
         steps = 2400
         if "--steps" in argv:
-            i = argv.index("--steps"); steps = int(argv[i + 1])
-        train(root, steps)
+            i = argv.index("--steps"); steps = int(argv[i + 1]); del argv[i:i + 2]
+        # everything after --extra is forwarded verbatim to train.py's CLI
+        extra = []
+        if "--extra" in argv:
+            i = argv.index("--extra"); extra = argv[i + 1:]
+        train(root, steps, extra)
     elif stage == "decode":
         avg = 1
         if "--avg" in argv:
