@@ -14,11 +14,14 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["build", "available", "wav_read_batch"]
+__all__ = ["build", "available", "wav_read_batch",
+           "beam_available", "ctc_prefix_beam_batch"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libwav_loader.so")
+_SO_BEAM = os.path.join(_DIR, "libctc_beam.so")
 _lib = None
+_beam_lib = None
 
 
 def build(force: bool = False) -> str:
@@ -68,6 +71,90 @@ def available() -> bool:
         return _load() is not None
     except Exception:
         return False
+
+
+def _load_beam():
+    global _beam_lib
+    if _beam_lib is not None:
+        return _beam_lib
+    src = os.path.join(_DIR, "ctc_beam.cc")
+    try:
+        if not os.path.exists(_SO_BEAM) or (
+            os.path.getmtime(_SO_BEAM) < os.path.getmtime(src)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+                 src, "-o", _SO_BEAM],
+                check=True,
+            )
+    except Exception:
+        if not os.path.exists(_SO_BEAM):
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_BEAM)
+    except OSError:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.ctc_prefix_beam_batch.argtypes = [
+        f32p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, f32p, i32p,
+    ]
+    lib.ctc_prefix_beam_batch.restype = ctypes.c_int32
+    _beam_lib = lib
+    return _beam_lib
+
+
+def beam_available() -> bool:
+    try:
+        return _load_beam() is not None
+    except Exception:
+        return False
+
+
+def ctc_prefix_beam_batch(top_logp, top_idx, n_valid, beam_size,
+                          blank_id=0, max_len=None):
+    """Native batched CTC prefix beam search (ctc_beam.cc).
+
+    Args:
+        top_logp: ``(B, T, K)`` f32 per-frame top-k log-probs.
+        top_idx: ``(B, T, K)`` int top-k token ids.
+        n_valid: ``(B,)`` valid frame counts.
+
+    Returns:
+        list over the batch of best-first ``[(prefix_tuple, log_prob), ...]``
+        — same contract as ``utils.recognize.ctc_prefix_beam_dp``.
+    """
+    lib = _load_beam()
+    if lib is None:
+        raise RuntimeError("native ctc beam unavailable (g++ build failed)")
+    top_logp = np.ascontiguousarray(top_logp, np.float32)
+    top_idx = np.ascontiguousarray(top_idx, np.int32)
+    n_valid = np.ascontiguousarray(n_valid, np.int32)
+    b, t, k = top_logp.shape
+    max_len = int(max_len if max_len is not None else t)
+    max_len = max(max_len, 1)
+    tokens = np.zeros((b, beam_size, max_len), np.int32)
+    lens = np.zeros((b, beam_size), np.int32)
+    scores = np.zeros((b, beam_size), np.float32)
+    counts = np.zeros((b,), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.ctc_prefix_beam_batch(
+        top_logp.ctypes.data_as(f32p), top_idx.ctypes.data_as(i32p),
+        n_valid.ctypes.data_as(i32p), b, t, k, beam_size, blank_id, max_len,
+        tokens.ctypes.data_as(i32p), lens.ctypes.data_as(i32p),
+        scores.ctypes.data_as(f32p), counts.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"ctc_prefix_beam_batch failed (rc={rc})")
+    return [
+        [(tuple(tokens[i, j, : lens[i, j]].tolist()), float(scores[i, j]))
+         for j in range(int(counts[i]))]
+        for i in range(b)
+    ]
 
 
 def wav_read_batch(paths, max_len: int, n_threads: int = 0):

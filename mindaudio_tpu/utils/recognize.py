@@ -237,8 +237,20 @@ class ASRInference:
         the two costs that dominated the round-1 RTF.
         """
         enc_out, enc_mask, top_logp, top_idx = self._encode_topk(feats, feat_lens)
-        valid = np.asarray(enc_mask[:, 0, :]).sum(-1)
+        valid = np.asarray(enc_mask[:, 0, :]).sum(-1).astype(np.int32)
         top_logp, top_idx = np.asarray(top_logp), np.asarray(top_idx)
+        # native C++ DP when built (one thread per utterance; ~1000x the
+        # Python loop, which dominated rescoring RTF — PERF.md); the Python
+        # DP below is the always-available reference implementation
+        try:
+            from mindaudio_tpu import _native
+
+            if _native.beam_available():
+                batch_hyps = _native.ctc_prefix_beam_batch(
+                    top_logp, top_idx, valid, self.beam_size, self.blank_id)
+                return batch_hyps, enc_out, enc_mask
+        except Exception:
+            pass
         batch_hyps = [
             ctc_prefix_beam_dp(top_logp[b], top_idx[b], int(valid[b]),
                                self.beam_size, self.blank_id)

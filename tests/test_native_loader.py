@@ -76,3 +76,29 @@ class TestNativeWavLoader:
         p.write_bytes(blob)
         batch, lens, rates = native.wav_read_batch([str(p)], 100)
         assert rates[0] == 0
+
+
+class TestNativeCtcBeam:
+    def test_matches_python_dp(self):
+        """Native C++ prefix beam == the Python reference DP, prefixes and
+        scores, across valid lengths (including a 1-frame edge)."""
+        from mindaudio_tpu import _native
+        from mindaudio_tpu.utils.recognize import ctc_prefix_beam_dp
+
+        if not _native.beam_available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(0)
+        B, T, V, K, BEAM = 4, 40, 24, 8, 8
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        idx = np.argsort(-logp, -1)[..., :K].astype(np.int32)
+        top = np.take_along_axis(logp, idx, -1).astype(np.float32)
+        valid = np.asarray([40, 25, 13, 1], np.int32)
+
+        native = _native.ctc_prefix_beam_batch(top, idx, valid, BEAM)
+        for b in range(B):
+            ref = ctc_prefix_beam_dp(top[b], idx[b], int(valid[b]), BEAM)
+            assert [p for p, _ in native[b]] == [p for p, _ in ref]
+            np.testing.assert_allclose(
+                [s for _, s in native[b]], [s for _, s in ref],
+                rtol=1e-5, atol=1e-5)
