@@ -202,9 +202,16 @@ class ASRInference:
         best = jnp.argmax(scores)
         return hyps[best], scores[best]
 
-    def _rescore_device_impl(self, enc_out, enc_mask, hyps_in, hyps_lens):
+    def _rescore_device_impl(self, enc_out, enc_mask, hyps_in, hyps_out,
+                             hyps_lens):
         """One decoder pass over ``B * beam`` hypotheses (``enc_out`` batch B,
-        hyps grouped per utterance: utt0's beam rows, then utt1's, ...)."""
+        hyps grouped per utterance: utt0's beam rows, then utt1's, ...).
+
+        Returns the per-hypothesis attention log-prob ``sum_j logp[j,
+        hyps_out[j]]`` over the first ``hyps_lens`` positions — scored ON
+        DEVICE: returning the raw ``(B*beam, L, vocab)`` log-softmax cost a
+        147 MB device→host transfer that dominated rescoring RTF (PERF.md).
+        """
         beam = hyps_in.shape[0] // enc_out.shape[0]
         memory = jnp.repeat(enc_out, beam, axis=0)
         mem_mask = jnp.repeat(enc_mask, beam, axis=0)
@@ -212,7 +219,10 @@ class ASRInference:
             self.variables, memory, mem_mask, hyps_in, hyps_lens,
             method=self.model.decoder_logits,
         )
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logp, hyps_out[..., None], axis=-1)[..., 0]
+        pos = jnp.arange(hyps_in.shape[1])[None, :]
+        return jnp.where(pos < hyps_lens[:, None], tok_lp, 0.0).sum(-1)
 
     # ---- host drivers ----
 
@@ -336,15 +346,16 @@ class ASRInference:
         ]
         flat = [h for hyps in batch_hyps for h in hyps]
         hyps_lens = np.array([len(h[0]) for h in flat], np.int32)
-        hyps_in, _ = add_sos_eos(
-            pad_sequence(
-                [np.array(h[0], np.int32) for h in flat],
-                padding_value=-1, max_len=max_tgt,
-            ),
-            self.sos, self.eos,
+        padded = pad_sequence(
+            [np.array(h[0], np.int32) for h in flat],
+            padding_value=-1, max_len=max_tgt,
         )
-        dec_logp = np.asarray(self._rescore_device(
+        hyps_in, hyps_out = add_sos_eos(padded, self.sos, self.eos)
+        # gather targets: prefix tokens then eos; pads → 0 for a safe gather
+        hyps_out = np.where(hyps_out < 0, 0, hyps_out)
+        att_scores = np.asarray(self._rescore_device(
             enc_out, enc_mask, jnp.asarray(hyps_in.astype(np.int32)),
+            jnp.asarray(hyps_out.astype(np.int32)),
             jnp.asarray(hyps_lens + 1),
         ))
 
@@ -352,10 +363,7 @@ class ASRInference:
         for b, hyps in enumerate(batch_hyps):
             best_score, best_index = -float("inf"), 0
             for i, (prefix, ctc_score) in enumerate(hyps):
-                row = dec_logp[b * beam + i]
-                score = sum(row[j][w] for j, w in enumerate(prefix))
-                score += row[len(prefix)][self.eos]
-                score += ctc_score * self.ctc_weight
+                score = float(att_scores[b * beam + i]) + ctc_score * self.ctc_weight
                 if score > best_score:
                     best_score, best_index = score, i
             results.append((list(hyps[best_index][0]), float(best_score)))
