@@ -1,6 +1,12 @@
 """Ablation sweep of the flagship conformer train step (PERF.md round-2 table).
 
 Run on a real chip: python benchmarks/ablate_conformer.py [variant ...]
+
+NOTE: bench.py::conformer_train_bench is the artifact-of-record measurement
+(the driver runs it every round); this sweep deliberately keeps its own
+parameterized copy of the step so variants can toggle pieces (dropout, rng
+impl, loss branches, guards) that the bench hard-wires to the shipped
+configuration. When changing the step structure, update both.
 """
 import sys, time, json
 sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
@@ -120,6 +126,7 @@ if __name__ == "__main__":
         ("t_aligned_1027", {"n_frames": 1027}),
         ("rbg_aligned", {"n_frames": 1027, "rng_impl": "rbg"}),
         ("rbg_aligned_b32", {"n_frames": 1027, "rng_impl": "rbg", "batch_size": 32}),
+        ("rbg_aligned_b64", {"n_frames": 1027, "rng_impl": "rbg", "batch_size": 64}),
     ]:
         if len(sys.argv) > 1 and name not in sys.argv[1:]:
             continue

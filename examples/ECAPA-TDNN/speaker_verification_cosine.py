@@ -66,10 +66,17 @@ def make_embed_fn(model, variables, cfg):
 
 
 def _read_full(row) -> np.ndarray:
-    x, sr = io.read(row["wav"])
-    x = np.asarray(x, np.float32)
-    if x.ndim > 1:
-        x = x[:, 0]
+    """The row's full segment: honors start/stop columns when present (a CSV
+    may carry several segment rows of one wav file — each must embed its own
+    span, not the whole file), else the whole utterance."""
+    start, stop = int(row.get("start", 0) or 0), int(row.get("stop", 0) or 0)
+    if stop > start:
+        x = load_segment(row, stop - start)
+    else:
+        x, sr = io.read(row["wav"])
+        x = np.asarray(x, np.float32)
+        if x.ndim > 1:
+            x = x[:, 0]
     return x[:MAX_LEN]
 
 
@@ -115,13 +122,7 @@ def training_cohort(embed_fn, train_csv, cohort_size: int):
                     break
         idx += 1
 
-    def load(row):
-        if "start" in row and row.get("stop"):
-            seg = load_segment(row, int(row["stop"]) - int(row["start"]))
-            return seg[:MAX_LEN]
-        return _read_full(row)
-
-    embs = embed_rows(embed_fn, ordered, loader=load)
+    embs = embed_rows(embed_fn, ordered)
     return np.stack([embs[r["ID"]] for r in ordered])
 
 

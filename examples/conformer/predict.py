@@ -123,6 +123,10 @@ def main():
             for limit in BUCKET_FRAMES:
                 if n_frames <= limit:
                     break
+            if n_frames > limit:  # longer than the largest bucket
+                print(f"WARNING: {u.utt_id} is {n_frames} frames; decoding "
+                      f"only the first {limit} (~{limit // 100} s) — audio "
+                      "past the largest bucket is dropped", file=sys.stderr)
             by_bucket.setdefault(limit, []).append((u, x))
 
         results = {}

@@ -307,6 +307,7 @@ def yin(
     frame_length=1024,
     hop_length=None,
     threshold=0.1,
+    voicing_threshold=0.35,
     center=True,
 ):
     """YIN fundamental-frequency estimation (de Cheveigné & Kawahara 2002).
@@ -319,8 +320,9 @@ def yin(
 
     Args:
         x: ``(T,)`` waveform.
-        threshold: CMNDF absolute threshold; frames whose best trough exceeds
-            ~0.35 are reported unvoiced (f0 = 0).
+        threshold: CMNDF absolute threshold for trough selection (YIN step 4).
+        voicing_threshold: frames with no sub-``threshold`` trough AND whose
+            best CMNDF value exceeds this are reported unvoiced (f0 = 0).
 
     Returns:
         ``(n_frames,)`` f0 in Hz, 0 where unvoiced;
@@ -345,10 +347,11 @@ def yin(
     frames = np.lib.stride_tricks.sliding_window_view(
         x, frame_length)[::hop][:n_frames]
 
-    # difference function d(tau) = e0 + e(tau) - 2*acf(tau) per frame
+    # difference function d(tau) = e0 + e(tau) - 2*acf_w(tau) per frame,
+    # with acf_w the cross-correlation of the fixed [0, win) window against
+    # the full frame (one FFT of each)
     nfft = 1 << int(np.ceil(np.log2(2 * frame_length)))
     f = np.fft.rfft(frames, nfft, axis=-1)
-    acf = np.fft.irfft(f * np.conj(f), nfft, axis=-1)[:, : tau_max + 1]
     sq = frames**2
     csum = np.concatenate(
         [np.zeros((len(frames), 1)), np.cumsum(sq, axis=-1)], axis=-1
@@ -357,10 +360,8 @@ def yin(
     taus = np.arange(tau_max + 1)
     e_tau = csum[:, taus + win] - csum[:, taus]
     e0 = e_tau[:, :1]
-    # acf over the fixed window [0, win): recompute exactly via windowed FFT
     fw = np.fft.rfft(frames[:, :win], nfft, axis=-1)
-    acf_w = np.fft.irfft(np.conj(fw) * np.fft.rfft(frames, nfft, axis=-1),
-                         nfft, axis=-1)[:, : tau_max + 1]
+    acf_w = np.fft.irfft(np.conj(fw) * f, nfft, axis=-1)[:, : tau_max + 1]
     d = np.maximum(e0 + e_tau - 2 * acf_w, 0.0)
 
     # CMNDF: d'(0) = 1, d'(tau) = d(tau) * tau / cumsum(d)[tau]
@@ -390,5 +391,5 @@ def yin(
     period = tau + delta
 
     f0 = sample_rate / np.maximum(period, 1e-6)
-    voiced = has_trough | (band[ar, idx] < 0.35)
+    voiced = has_trough | (band[ar, idx] < voicing_threshold)
     return np.where(voiced, f0, 0.0).astype(np.float32)

@@ -122,10 +122,14 @@ def read(file, offset=0.0, duration=None):
         n_frames = data_size // frame_bytes
 
         start = int(round(float(offset) * rate)) if offset else 0
-        start = min(start, n_frames)
+        # clamp into [0, n_frames]: a negative offset must not seek into the
+        # header bytes before the data chunk
+        start = min(max(start, 0), n_frames)
         count = n_frames - start
         if duration is not None:
-            count = min(count, int(round(float(duration) * rate)))
+            # negative duration → empty read (f.read(negative) would read to
+            # EOF), matching the reference's empty slice semantics
+            count = min(count, max(int(round(float(duration) * rate)), 0))
 
         f.seek(data_start + start * frame_bytes)
         raw = f.read(count * frame_bytes)
