@@ -134,6 +134,16 @@ class ASRInference:
         self._encode_topk = jax.jit(self._encode_topk_impl)
         self._beam_device = jax.jit(self._beam_device_impl)
         self._rescore_device = jax.jit(self._rescore_device_impl)
+        # streaming chunk step: one compiled program per (chunk, cache)
+        # shape — eager apply dispatches every op separately (measured RTF 5
+        # over the remote tunnel vs 0.1 jitted)
+        self._encode_chunk = jax.jit(
+            lambda xs, att, cnn, rcs: self._apply(
+                self.variables, xs, att, cnn, rcs,
+                method=self.model.encode_chunk,
+            ),
+            static_argnums=(3,),
+        )
 
     # ---- device programs ----
 
@@ -314,9 +324,9 @@ class ASRInference:
         hyp: List[int] = []
         prev = self.blank_id
         for chunk in feat_chunks:
-            log_probs, att_caches, cnn_caches = self._apply(
-                self.variables, jnp.asarray(chunk), att_caches, cnn_caches,
-                required_cache_size, method=self.model.encode_chunk,
+            log_probs, att_caches, cnn_caches = self._encode_chunk(
+                jnp.asarray(chunk), att_caches, cnn_caches,
+                required_cache_size,
             )
             best = np.asarray(log_probs.argmax(-1))[0]
             for tok in best.tolist():
