@@ -92,6 +92,16 @@ def int8_matmul(x, values, scales, block_m=128, block_n=128, interpret=False):
     x2 = x.reshape(-1, k).astype(jnp.bfloat16)
     m = x2.shape[0]
 
+    # The Pallas grid reloads the (K, block_n) weight tile for every M-block,
+    # so past a few M-blocks the re-reads cost more than they save — that
+    # regime (training-sized M) isn't weight-bound anyway. Keep int8 storage
+    # but dequantize once and let XLA matmul.
+    if m > 4 * block_m:
+        w = (values.astype(jnp.bfloat16)
+             * scales.astype(jnp.bfloat16)[None, :])
+        out = jnp.matmul(x2, w, preferred_element_type=jnp.float32)
+        return out.reshape(*lead, n).astype(orig_dtype)
+
     # pad to tile multiples (the MXU wants aligned tiles; K is unpadded —
     # it is the contraction dim and d_model/ffn dims are already 128-aligned
     # in this framework)
