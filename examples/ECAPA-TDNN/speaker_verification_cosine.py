@@ -68,7 +68,9 @@ def make_embed_fn(model, variables, cfg):
 def _read_full(row) -> np.ndarray:
     """The row's full segment: honors start/stop columns when present (a CSV
     may carry several segment rows of one wav file — each must embed its own
-    span, not the whole file), else the whole utterance."""
+    span, not the whole file), else the whole utterance. Non-16 kHz audio is
+    resampled (like the training collate) — feeding a wrong-rate waveform
+    would silently shift every feature."""
     start, stop = int(row.get("start", 0) or 0), int(row.get("stop", 0) or 0)
     if stop > start:
         x = load_segment(row, stop - start)
@@ -77,6 +79,10 @@ def _read_full(row) -> np.ndarray:
         x = np.asarray(x, np.float32)
         if x.ndim > 1:
             x = x[:, 0]
+        if sr != SAMPLE_RATE:
+            from mindaudio_tpu.data.processing import resample
+
+            x = np.asarray(resample(x, sr, SAMPLE_RATE), np.float32)
     return x[:MAX_LEN]
 
 

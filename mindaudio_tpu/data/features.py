@@ -307,8 +307,8 @@ def yin(
     frame_length=1024,
     hop_length=None,
     threshold=0.1,
-    voicing_threshold=0.35,
     center=True,
+    voicing_threshold=0.35,
 ):
     """YIN fundamental-frequency estimation (de Cheveigné & Kawahara 2002).
 

@@ -161,3 +161,45 @@ class TestBatchedDecode:
                 feats[b:b + 1], lens[b:b + 1])
             assert hyp == seq_hyp
             np.testing.assert_allclose(score, seq_score, rtol=1e-4, atol=1e-4)
+
+    def test_device_scoring_matches_host_formula(self, tiny_asr):
+        """Independent oracle for the on-device gather/mask/sum: recompute
+        each candidate's score on host as sum_j logp[j][prefix_j] +
+        logp[len][eos] + ctc_weight * ctc (the formula the device program
+        replaced — reference recognize.py:339-406)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.utils.common import add_sos_eos, pad_sequence
+
+        inf, feats, lens = tiny_asr
+        hyps, enc_out, enc_mask = inf.ctc_prefix_beam_search(feats, lens)
+        hyp, score = inf.attention_rescoring(feats, lens)
+
+        # host reference: full decoder logits for every candidate
+        max_tgt = inf.max_tgt_len
+        cand = [(h[:max_tgt], s) for h, s in hyps]
+        hyps_in, _ = add_sos_eos(
+            pad_sequence([np.array(h, np.int32) for h, _ in cand],
+                         padding_value=-1, max_len=max_tgt),
+            inf.sos, inf.eos)
+        hyps_lens = np.array([len(h) for h, _ in cand], np.int32)
+        memory = jnp.repeat(enc_out, len(cand), axis=0)
+        mem_mask = jnp.repeat(enc_mask, len(cand), axis=0)
+        logits = inf.model.apply(
+            inf.variables, memory, mem_mask,
+            jnp.asarray(hyps_in.astype(np.int32)),
+            jnp.asarray(hyps_lens + 1), method=inf.model.decoder_logits)
+        logp = np.asarray(jax.nn.log_softmax(
+            np.asarray(logits, np.float32), axis=-1))
+
+        best_score, best_hyp = -float("inf"), None
+        for i, (prefix, ctc_score) in enumerate(cand):
+            s = sum(logp[i][j][w] for j, w in enumerate(prefix))
+            s += logp[i][len(prefix)][inf.eos]
+            s += ctc_score * inf.ctc_weight
+            if s > best_score:
+                best_score, best_hyp = s, list(prefix)
+
+        assert hyp == best_hyp
+        np.testing.assert_allclose(score, best_score, rtol=1e-4, atol=1e-4)
