@@ -24,6 +24,7 @@ from mindaudio_tpu.data import io
 from mindaudio_tpu.models.wavegrad import (
     WaveGrad,
     default_noise_schedule,
+    fast_noise_schedule,
     reverse_diffusion,
 )
 from mindaudio_tpu.train.checkpoint import restore_checkpoint
@@ -37,6 +38,11 @@ def main():
                              "feature dict containing 'mel'")
     parser.add_argument("--output", default="wavegrad_out.wav")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--fast", action="store_true",
+                        help="6-iteration inference schedule (~170x fewer "
+                             "network evals; WaveGrad §4 — valid for any "
+                             "checkpoint thanks to continuous noise-level "
+                             "conditioning)")
     args, rest = parser.parse_known_args()
 
     cfg = get_config(os.path.join(os.path.dirname(__file__), "wavegrad.yaml"), rest)
@@ -52,10 +58,13 @@ def main():
     def apply_fn(p, mel_b, audio, scale):
         return model.apply({"params": p}, mel_b, audio, scale)
 
-    betas = default_noise_schedule(
-        int(cfg.diffusion.num_steps), float(cfg.diffusion.beta_start),
-        float(cfg.diffusion.beta_end),
-    )
+    if args.fast:
+        betas = fast_noise_schedule()
+    else:
+        betas = default_noise_schedule(
+            int(cfg.diffusion.num_steps), float(cfg.diffusion.beta_start),
+            float(cfg.diffusion.beta_end),
+        )
     audio = reverse_diffusion(
         params, apply_fn, mel, jax.random.PRNGKey(args.seed),
         betas=betas, hop=int(cfg.data.hop_length),

@@ -185,6 +185,32 @@ class TestWaveGrad:
         assert noisy.shape == audio.shape
         assert 0.3 <= float(scale[0]) <= 0.6
 
+    def test_fast_schedule_sampling(self, rng):
+        """The 6-iteration fast schedule drives the same reverse_diffusion
+        scan as the 1000-step default (continuous noise-level conditioning
+        makes any inference schedule valid for a trained model). A bounded
+        analytic predictor stands in for a trained net — an UNtrained net
+        legitimately diverges over ancestral sampling, which is a property
+        of random weights, not of the scan or the schedule."""
+        from mindaudio_tpu.models.wavegrad import (
+            fast_noise_schedule,
+            reverse_diffusion,
+        )
+
+        betas = fast_noise_schedule()
+        assert len(betas) == 6 and (np.diff(betas) > 0).all()
+        assert 0.0 < betas[0] and betas[-1] < 1.0
+
+        mel = jax.random.normal(rng, (1, 4, 80))
+
+        def apply_fn(params, mel_b, audio, scale):
+            return jnp.tanh(audio)  # bounded eps: sampler stays finite
+
+        audio = reverse_diffusion({}, apply_fn, mel, rng,
+                                  betas=betas, hop=300)
+        assert audio.shape == (1, 1200)
+        assert np.isfinite(np.asarray(audio)).all()
+
 
 class TestMetrics:
     def test_wer(self):
