@@ -109,7 +109,8 @@ def main():
     )
     utts = read_manifest(cfg.data.test_csv)
 
-    if mode in ("ctc_greedy", "ctc_prefix_beam", "attention_rescoring"):
+    if mode in ("ctc_greedy", "ctc_prefix_beam", "attention",
+                "attention_rescoring"):
         # batched decode: utterances grouped into (bucket, B) batches feed
         # ONE encoder program per batch (and one decoder pass for all
         # B*beam rescoring hypotheses) — RTF drops ~50x vs per-utterance
@@ -148,6 +149,9 @@ def main():
                     bh, _, _ = inference.ctc_prefix_beam_search_batch(
                         feats, feat_lens)
                     batch_hyps = [list(h[0][0]) for h in bh]
+                elif mode == "attention":
+                    batch_hyps = [h for h, _ in
+                                  inference.recognize_batch(feats, feat_lens)]
                 else:
                     batch_hyps = [h for h, _ in
                                   inference.attention_rescoring_batch(feats, feat_lens)]
@@ -183,8 +187,6 @@ def main():
                     if lo + 7 <= raw
                 ]
                 hyp_ids = inference.streaming_ctc_greedy(chunks)
-            elif mode == "attention":
-                hyp_ids = inference.recognize(feats, feat_lens)[0]
             else:
                 raise ValueError(f"unknown decode mode {mode}")
 

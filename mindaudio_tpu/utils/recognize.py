@@ -133,6 +133,10 @@ class ASRInference:
         self._encode_greedy = jax.jit(self._encode_greedy_impl)
         self._encode_topk = jax.jit(self._encode_topk_impl)
         self._beam_device = jax.jit(self._beam_device_impl)
+        # batched beam search: vmap the single-utterance fori_loop over the
+        # batch (each row re-adds its leading length-1 "batch" dim)
+        self._beam_device_vmapped = jax.jit(jax.vmap(
+            lambda eo, em: self._beam_device_impl(eo[None], em[None])))
         self._rescore_device = jax.jit(self._rescore_device_impl)
         # streaming chunk step: one compiled program per (chunk, cache)
         # shape — eager apply dispatches every op separately (measured RTF 5
@@ -288,18 +292,34 @@ class ASRInference:
             feats, feat_lens)
         return batch_hyps[0], enc_out, enc_mask
 
+    def _hyp_to_tokens(self, hyp):
+        out = []
+        for tok in np.asarray(hyp)[1:].tolist():  # drop sos
+            if tok == self.eos:
+                break
+            out.append(int(tok))
+        return out
+
     def recognize(self, feats, feat_lens):
         """Batch-1 attention beam search; returns (token list, score)."""
         assert feats.shape[0] == 1
         enc_out, enc_mask, _ = self._encode_jit(feats, feat_lens)
         hyp, score = self._beam_device(enc_out, enc_mask)
-        hyp = np.asarray(hyp)[1:]  # drop sos
-        out = []
-        for tok in hyp.tolist():
-            if tok == self.eos:
-                break
-            out.append(int(tok))
-        return out, float(score)
+        return self._hyp_to_tokens(hyp), float(score)
+
+    def recognize_batch(self, feats, feat_lens):
+        """Batched attention beam search: the per-utterance beam fori_loop
+        vmapped over the batch — one device program for all utterances
+        (identical per-utterance math to :meth:`recognize`; the reference's
+        beam graph is batch-1 only, decoder_factory.py:141-192).
+
+        Returns ``[(tokens, score), ...]`` per utterance.
+        """
+        enc_out, enc_mask, _ = self._encode_jit(feats, feat_lens)
+        hyps, scores = self._beam_device_vmapped(enc_out, enc_mask)
+        hyps, scores = np.asarray(hyps), np.asarray(scores)
+        return [(self._hyp_to_tokens(hyps[b]), float(scores[b]))
+                for b in range(feats.shape[0])]
 
     def streaming_ctc_greedy(self, feat_chunks, required_cache_size=128):
         """Streaming CTC greedy over an iterable of raw-feature chunks.

@@ -203,3 +203,12 @@ class TestBatchedDecode:
 
         assert hyp == best_hyp
         np.testing.assert_allclose(score, best_score, rtol=1e-4, atol=1e-4)
+
+    def test_attention_beam_batch_matches_sequential(self, tiny_asr_batch):
+        inf, feats, lens = tiny_asr_batch
+        results = inf.recognize_batch(feats, lens)
+        assert len(results) == 3
+        for b, (hyp, score) in enumerate(results):
+            seq_hyp, seq_score = inf.recognize(feats[b:b + 1], lens[b:b + 1])
+            assert hyp == seq_hyp
+            np.testing.assert_allclose(score, seq_score, rtol=1e-4, atol=1e-4)
