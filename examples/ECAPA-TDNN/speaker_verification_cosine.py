@@ -73,7 +73,22 @@ def _read_full(row) -> np.ndarray:
     would silently shift every feature."""
     start, stop = int(row.get("start", 0) or 0), int(row.get("stop", 0) or 0)
     if stop > start:
-        x = load_segment(row, stop - start)
+        # probe the actual rate first: load_segment converts start/stop with
+        # SAMPLE_RATE and never resamples, so a non-16 kHz wav must take the
+        # full-read path with rescaled indices instead
+        _, sr = io.read(row["wav"], duration=1.0 / SAMPLE_RATE)
+        if sr == SAMPLE_RATE:
+            return load_segment(row, stop - start)[:MAX_LEN]
+        x, sr = io.read(row["wav"])
+        x = np.asarray(x, np.float32)
+        if x.ndim > 1:
+            x = x[:, 0]
+        from mindaudio_tpu.data.processing import resample
+
+        x = np.asarray(resample(x, sr, SAMPLE_RATE), np.float32)
+        start = int(round(start * SAMPLE_RATE / sr))
+        stop = int(round(stop * SAMPLE_RATE / sr))
+        x = x[start:stop]
     else:
         x, sr = io.read(row["wav"])
         x = np.asarray(x, np.float32)
@@ -110,21 +125,28 @@ def embed_rows(embed_fn, rows, loader=_read_full):
     return embs
 
 
-def training_cohort(embed_fn, train_csv, cohort_size: int):
-    """Cohort embeddings from training utterances, one speaker-stratified
-    pass (reference emb_mean over train_dataloader :656-668)."""
+def training_cohort(embed_fn, train_csv, pool_size: int = 0):
+    """Cohort embeddings from training utterances (reference emb_mean over
+    train_dataloader :656-668 embeds the whole training set as the cohort;
+    per-trial top-k selection happens later in :func:`score_trials`).
+
+    ``pool_size`` bounds the pool (0 = whole training set); when bounding,
+    utterances are taken round-robin across speakers so the cohort spans the
+    speaker space.
+    """
     rows, _ = read_segments(train_csv)
+    target = len(rows) if not pool_size else min(pool_size, len(rows))
     by_spk: dict[str, list] = {}
     for r in rows:
         by_spk.setdefault(r["spk_id"], []).append(r)
     # round-robin across speakers so the cohort spans the speaker space
     ordered = []
     idx = 0
-    while len(ordered) < min(cohort_size, len(rows)):
+    while len(ordered) < target:
         for spk in sorted(by_spk):
             if idx < len(by_spk[spk]):
                 ordered.append(by_spk[spk][idx])
-                if len(ordered) >= min(cohort_size, len(rows)):
+                if len(ordered) >= target:
                     break
         idx += 1
 
@@ -132,18 +154,32 @@ def training_cohort(embed_fn, train_csv, cohort_size: int):
     return np.stack([embs[r["ID"]] for r in ordered])
 
 
-def score_trials(embs, pairs, cohort=None):
-    """Cosine (optionally s-normed) scores for (label, enrol, test) trials."""
+def score_trials(embs, pairs, cohort=None, cohort_size=0):
+    """Cosine (optionally s-normed) scores for (label, enrol, test) trials.
+
+    Adaptive s-norm (reference evaluate2:595-612): each trial side is scored
+    against the full ``cohort`` matrix, then only the per-trial TOP
+    ``cohort_size`` cohort scores (``np.partition`` selection, like the
+    reference's ``ops.TopK``) feed the mean/std normalization. Pass
+    ``cohort_size=0`` (or a size >= the cohort) for plain s-norm over the
+    whole cohort.
+    """
     pos, neg = [], []
+
+    def _top(scores):
+        k = int(cohort_size)
+        if k and k < len(scores):
+            scores = np.partition(scores, len(scores) - k)[-k:]
+        return scores
+
     for label, e_key, t_key in pairs:
         if e_key not in embs or t_key not in embs:
             continue
         e, t = embs[e_key], embs[t_key]
         score = float(np.dot(e, t))
         if cohort is not None:
-            # adaptive s-norm (reference evaluate2:572-668)
-            e_c = cohort @ e
-            t_c = cohort @ t
+            e_c = _top(cohort @ e)
+            t_c = _top(cohort @ t)
             score = 0.5 * ((score - e_c.mean()) / (e_c.std() + 1e-8)
                            + (score - t_c.mean()) / (t_c.std() + 1e-8))
         (pos if label == 1 else neg).append(score)
@@ -177,10 +213,13 @@ def main():
 
     cohort = None
     if bool(cfg.eval.score_norm):
+        # embed a large pool (whole train set unless eval.cohort_pool bounds
+        # it); cohort_size then selects the top scores per trial
         cohort = training_cohort(embed_fn, cfg.data.train_csv,
-                                 int(cfg.eval.cohort_size))
+                                 int(cfg.eval.get("cohort_pool", 0)))
 
-    pos, neg = score_trials(embs, pairs, cohort)
+    pos, neg = score_trials(embs, pairs, cohort,
+                            cohort_size=int(cfg.eval.cohort_size))
     eer, threshold = get_eer(np.asarray(pos), np.asarray(neg))
     print(f"pairs={len(pos) + len(neg)} EER={100 * eer:.2f}% thr={threshold:.4f}")
     return eer

@@ -78,17 +78,20 @@ def _load_beam():
     if _beam_lib is not None:
         return _beam_lib
     src = os.path.join(_DIR, "ctc_beam.cc")
+    stale = os.path.exists(_SO_BEAM) and (
+        os.path.getmtime(_SO_BEAM) < os.path.getmtime(src)
+    )
     try:
-        if not os.path.exists(_SO_BEAM) or (
-            os.path.getmtime(_SO_BEAM) < os.path.getmtime(src)
-        ):
+        if not os.path.exists(_SO_BEAM) or stale:
             subprocess.run(
                 ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
                  src, "-o", _SO_BEAM],
                 check=True,
             )
     except Exception:
-        if not os.path.exists(_SO_BEAM):
+        # never serve a .so known to be older than its source — a changed
+        # algorithm must fall back to the (correct) Python DP instead
+        if stale or not os.path.exists(_SO_BEAM):
             return None
     try:
         lib = ctypes.CDLL(_SO_BEAM)

@@ -321,7 +321,7 @@ class ASRInference:
         return [(self._hyp_to_tokens(hyps[b]), float(scores[b]))
                 for b in range(feats.shape[0])]
 
-    def streaming_ctc_greedy(self, feat_chunks, required_cache_size=128):
+    def streaming_ctc_greedy(self, feat_chunks, required_cache_size=-1):
         """Streaming CTC greedy over an iterable of raw-feature chunks.
 
         Each chunk is ``(1, 4*C + 3, F)`` raw frames (see
@@ -333,10 +333,11 @@ class ASRInference:
 
         ``required_cache_size`` caps the attention left context so cache
         size, per-chunk cost, and the jit-shape set stay bounded on long
-        streams (see ``ConformerEncoder.forward_chunk``). The default keeps
-        128 subsampled frames (~5 s of audio) — bounded by default so an
-        unbounded stream cannot grow the cache (and recompile every chunk);
-        pass ``-1`` explicitly for exact full history on short utterances.
+        streams (see ``ConformerEncoder.forward_chunk``). The default ``-1``
+        keeps exact full history (identical hypotheses to offline greedy on
+        chunk-trained models); long/unbounded streams should pass a cap
+        (e.g. 128 subsampled frames ~5 s) or the cache grows — and
+        recompiles — every chunk.
 
         Returns the collapsed token list.
         """

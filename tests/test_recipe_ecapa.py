@@ -146,7 +146,7 @@ class TestFullUtteranceVerification:
         lens = {sv._bucket_len(int(float(r["duration"]) * SR)) for r in eval_rows}
         assert len(lens) >= 2
 
-        cohort = sv.training_cohort(embed_fn, train_csv, cohort_size=8)
+        cohort = sv.training_cohort(embed_fn, train_csv, pool_size=8)
         assert cohort.shape[0] == 8
 
         pairs = []
@@ -160,6 +160,37 @@ class TestFullUtteranceVerification:
             assert pos and neg
             eer, _ = get_eer(np.asarray(pos), np.asarray(neg))
             assert eer < 0.35, f"EER {eer:.2f} no better than chance (cohort={coh is not None})"
+
+        # adaptive s-norm selects the top cohort_size scores per trial
+        # (reference evaluate2:595-612); still better than chance
+        pos, neg = sv.score_trials(embs, pairs, cohort, cohort_size=4)
+        eer, _ = get_eer(np.asarray(pos), np.asarray(neg))
+        assert eer < 0.35
+
+    def test_adaptive_snorm_topk_selection(self):
+        """score_trials with cohort_size=k must normalize by the mean/std of
+        the per-trial TOP-k cohort scores, not the whole cohort."""
+        import speaker_verification_cosine as sv
+
+        e = np.array([1.0, 0.0], np.float32)
+        t = np.array([0.0, 1.0], np.float32)
+        embs = {"e": e, "t": t}
+        cohort = np.array(
+            [[1.0, 0.0], [0.8, 0.6], [0.0, 1.0], [-1.0, 0.0]], np.float32)
+        pairs = [(1, "e", "t")]
+        raw = float(np.dot(e, t))
+
+        def expected(k):
+            e_c = np.sort(cohort @ e)[-k:]
+            t_c = np.sort(cohort @ t)[-k:]
+            return 0.5 * ((raw - e_c.mean()) / (e_c.std() + 1e-8)
+                          + (raw - t_c.mean()) / (t_c.std() + 1e-8))
+
+        pos, _ = sv.score_trials(embs, pairs, cohort, cohort_size=2)
+        np.testing.assert_allclose(pos[0], expected(2), rtol=1e-6)
+        # k=0 (or k >= pool) falls back to the full cohort
+        pos_full, _ = sv.score_trials(embs, pairs, cohort)
+        np.testing.assert_allclose(pos_full[0], expected(4), rtol=1e-6)
 
     def test_masked_embedding_ignores_padding(self, trained):
         """Same audio, different pad lengths → same embedding (length-masked
