@@ -101,8 +101,13 @@ def batch_iterator(
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(rows)) if shuffle else np.arange(len(rows))
         sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
-        n_even = len(sel) // world_size * world_size  # equal per-rank counts
-        for batch_idx in sel[rank:n_even:world_size]:
+        # multi-process DP: identical batch sequence on all ranks, each rank
+        # loads its contiguous 1/world_size row block (the global batch is
+        # assembled by parallel.mesh.put_global_batch)
+        for batch_idx in sel:
+            if world_size > 1:
+                local = batch_size // world_size
+                batch_idx = batch_idx[rank * local:(rank + 1) * local]
             wavs = np.stack([load_segment(rows[i], seg_len) for i in batch_idx])
             labels = np.asarray([spk2label[rows[i]["spk_id"]] for i in batch_idx],
                                 np.int32)

@@ -115,7 +115,16 @@ class BucketSampler:
         self.buckets = buckets
 
     def __iter__(self) -> Iterator[tuple]:
-        """Yield ``(bucket_idx, [Utt])`` batches, rank-strided for DP."""
+        """Yield ``(bucket_idx, [Utt])`` batches.
+
+        Multi-process DP splits WITHIN each batch, not across batches: every
+        rank iterates the identical (seed-deterministic) batch sequence and
+        takes its contiguous ``1/world_size`` row block (reference
+        dataset.py:553-556 ``batch[rank::group_size]`` semantics). Striding
+        whole batches across ranks would hand different ranks different
+        bucket SHAPES — the per-rank shards of one global array must agree,
+        so the global batch must be one bucket's shape on every rank.
+        """
         rng = np.random.default_rng(self.seed)
         batches = []
         for i, bucket in enumerate(self.buckets):
@@ -130,17 +139,17 @@ class BucketSampler:
             # tail dropped: static shapes need full batches
         if self.shuffle:
             rng.shuffle(batches)
-        # equal batch counts per rank: a ragged split would hang the psum at
-        # the epoch tail on multi-host runs
-        n_even = len(batches) // self.world_size * self.world_size
-        for b in batches[self.rank:n_even:self.world_size]:
-            yield b
+        for i, chunk in batches:
+            if self.world_size > 1:
+                local = len(chunk) // self.world_size
+                chunk = chunk[self.rank * local:(self.rank + 1) * local]
+            yield i, chunk
 
     def __len__(self):
         n = 0
         for i, bucket in enumerate(self.buckets):
             n += len(bucket) // self.batch_bucket_limit[i]
-        return n // self.world_size
+        return n
 
 
 def collate(

@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 from mindaudio_tpu.models.asr_model import ASRModel
 from mindaudio_tpu.ops.spectral import kaldi_fbank
 from mindaudio_tpu.ops.specaugment import spec_augment
-from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.parallel.mesh import (initialize_distributed, make_mesh,
+                                         put_global_batch)
 from mindaudio_tpu.parallel.shardings import state_shardings
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
@@ -247,14 +248,14 @@ def main():
         total, n = 0.0, 0
         for _, frames, batch in batch_iterator(
             cfg.data.dev_csv, tokenizer, epochs=1, speed_perturb=False,
+            rank=jax.process_index(), world_size=jax.process_count(),
             batch_multiple=mesh.shape["data"],
             batch_factor=float(cfg.data.batch_factor),
             max_label_len=int(cfg.data.max_label_len),
             frame_bucket_limit=cfg.data.get("frame_bucket_limit"),
             batch_bucket_limit=cfg.data.get("batch_bucket_limit"),
         ):
-            dev = {k: jax.device_put(jnp.asarray(v), data_sh)
-                   for k, v in batch.items()}
+            dev = put_global_batch(data_sh, batch)
             total += float(eval_fn(state.params, dev))
             n += 1
             if n >= max_batches:
@@ -271,7 +272,7 @@ def main():
 
     def to_device(item):
         epoch, frames, batch = item
-        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        dev = put_global_batch(data_sh, batch)
         return epoch, frames, dev
 
     # checkpoints are named (and max_steps counted) by the GLOBAL optimizer
@@ -296,24 +297,24 @@ def main():
                 m["loss_ctc"], m["acc_att"], (time.time() - t0) / step_count,
             )
         if step_count % int(cfg.train.save_every_steps) == 0:
-            # eval runs on ALL processes (the jitted program is a global
-            # collective — gating it on rank 0 would deadlock a pod); only
-            # logging and the checkpoint write are rank-0
+            # eval AND save run on ALL processes (both the jitted eval and
+            # the orbax save are global collectives — gating either on rank 0
+            # would deadlock a pod); only logging is rank-0
             dev_loss = eval_loss(state)
             if jax.process_index() == 0:
                 logger.info("eval @ step %d: dev loss %.4f", gstep, dev_loss)
-                ckpt.save(jax.device_get({
-                    "params": state.params, "opt_state": state.opt_state,
-                    "step": state.step,
-                }), gstep, eval_metric=dev_loss)
+            ckpt.save(jax.device_get({
+                "params": state.params, "opt_state": state.opt_state,
+                "step": state.step,
+            }), gstep, eval_metric=dev_loss)
         if max_steps and start_step + step_count >= max_steps:
             break
 
-    if jax.process_index() == 0:
-        ckpt.save(jax.device_get({
-            "params": state.params, "opt_state": state.opt_state,
-            "step": state.step,
-        }), start_step + step_count)
+    # all ranks call save (orbax is a global collective; primary writes)
+    ckpt.save(jax.device_get({
+        "params": state.params, "opt_state": state.opt_state,
+        "step": state.step,
+    }), start_step + step_count)
     logger.info("done: %d steps (global %d)", step_count, start_step + step_count)
 
 

@@ -91,17 +91,30 @@ def batch_iterator(
             for i in range(0, len(samples) - batch_size + 1, batch_size)
         ]
         tail = len(samples) % batch_size
+        tail_group_obj = None
         if tail and not drop_last:
             # pad the last batch to the static size by repeating its last row
             group = samples[-tail:]
             group = group + [group[-1]] * (batch_size - tail)
             batches.append(group)
+            tail_group_obj = group
         if shuffle:
             rng.shuffle(batches)
-        n_even = len(batches) // world_size * world_size  # equal per-rank counts
-        for group in batches[rank:n_even:world_size]:
-            wavs_raw, labels_raw = [], []
+        # multi-process DP: all ranks iterate the SAME batch sequence; the
+        # bucket shape comes from header-probed lengths of the WHOLE group
+        # (ranks must agree on the global batch shape), then each rank decodes
+        # only its contiguous 1/world_size row block
+        for group in batches:
+            tail_group = group is tail_group_obj
             max_frames = 1
+            for wav_path, _ in group:
+                n_samp, sr, _, _ = io.info(wav_path)
+                max_frames = max(max_frames, 1 + n_samp // HOP)
+            bucket = _bucket_for(max_frames)
+            if world_size > 1:
+                local = len(group) // world_size
+                group = group[rank * local:(rank + 1) * local]
+            wavs_raw, labels_raw = [], []
             for wav_path, txt_path in group:
                 x, sr = io.read(wav_path)
                 x = np.asarray(x, np.float32)
@@ -109,8 +122,6 @@ def batch_iterator(
                     x = x[:, 0]
                 wavs_raw.append(x)
                 labels_raw.append(encode_transcript(txt_path))
-                max_frames = max(max_frames, 1 + len(x) // HOP)
-            bucket = _bucket_for(max_frames)
             wav_len = bucket * HOP
             wavs = np.zeros((len(group), wav_len), np.float32)
             wav_lens = np.zeros((len(group),), np.int32)
@@ -130,6 +141,5 @@ def batch_iterator(
             if not drop_last:
                 # host-only key (eval slices by it); omitted for training so
                 # the whole dict can be device_put with batch sharding
-                out["n_valid"] = (tail if tail and group is batches[-1]
-                                  else batch_size)
+                out["n_valid"] = tail if tail_group else batch_size
             yield epoch, out

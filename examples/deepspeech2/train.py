@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 from mindaudio_tpu.loss.ctc_loss import ctc_loss
 from mindaudio_tpu.models.deepspeech2 import DeepSpeechModel
 from mindaudio_tpu.ops.spectral import _power_frames
-from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.parallel.mesh import (initialize_distributed, make_mesh,
+                                         put_global_batch)
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
@@ -127,7 +128,7 @@ def main():
     step_count = 0
 
     def run(state, batch):
-        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        dev = put_global_batch(data_sh, batch)
         return step_fn(state, dev)
 
     state, metrics = run(state, first)
@@ -139,15 +140,16 @@ def main():
             logger.info("epoch %d step %d loss %.4f %.2f s/step",
                         epoch, step_count, float(metrics["loss"]),
                         (time.time() - t0) / step_count)
-        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+        if step_count % int(cfg.train.save_every_steps) == 0:
+            # all ranks call save (orbax is a global collective; primary writes)
             ckpt.save(jax.device_get(
                 {"params": state.params, "batch_stats": state.batch_stats}
             ), step_count)
         if max_steps and step_count >= max_steps:
             break
 
-    if jax.process_index() == 0:
-        ckpt.save(jax.device_get(
+    # all ranks call save (orbax is a global collective; primary writes)
+    ckpt.save(jax.device_get(
             {"params": state.params, "batch_stats": state.batch_stats}
         ), step_count)
     logger.info("done: %d steps", step_count)

@@ -36,8 +36,13 @@ def batch_iterator(
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(utts)) if shuffle else np.arange(len(utts))
         sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
-        n_even = len(sel) // world_size * world_size  # equal per-rank counts
-        for batch_idx in sel[rank:n_even:world_size]:
+        # multi-process DP: identical batch sequence on all ranks, each rank
+        # loads its contiguous 1/world_size row block (the global batch is
+        # assembled by parallel.mesh.put_global_batch)
+        for batch_idx in sel:
+            if world_size > 1:
+                local = batch_size // world_size
+                batch_idx = batch_idx[rank * local:(rank + 1) * local]
             samples = [
                 np.load(os.path.join(feature_dir, utts[i] + ".npy"),
                         allow_pickle=True).item()

@@ -22,7 +22,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 
 from mindaudio_tpu.models.fastspeech2 import FastSpeech2, FastSpeech2WithLoss
-from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.parallel.mesh import (initialize_distributed, make_mesh,
+                                         put_global_batch)
 from mindaudio_tpu.scheduler.schedules import exponential_decay_lr
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
@@ -118,7 +119,7 @@ def main():
     step_count = 0
 
     def run(state, batch):
-        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        dev = put_global_batch(data_sh, batch)
         return step_fn(state, dev)
 
     state, metrics = run(state, first)
@@ -134,13 +135,14 @@ def main():
                 epoch, step_count, m["loss"], m["mel"], m["dur"], m["pitch"],
                 m["energy"], (time.time() - t0) / step_count,
             )
-        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+        if step_count % int(cfg.train.save_every_steps) == 0:
+            # all ranks call save (orbax is a global collective; primary writes)
             ckpt.save(jax.device_get({"params": state.params}), step_count)
         if max_steps and step_count >= max_steps:
             break
 
-    if jax.process_index() == 0:
-        ckpt.save(jax.device_get({"params": state.params}), step_count)
+    # all ranks call save (orbax is a global collective; primary writes)
+    ckpt.save(jax.device_get({"params": state.params}), step_count)
     logger.info("done: %d steps", step_count)
 
 

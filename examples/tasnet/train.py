@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../.."))
 from mindaudio_tpu.data.librimix import separation_batch_iterator
 from mindaudio_tpu.loss.separation_loss import pit_si_snr_loss
 from mindaudio_tpu.models.tasnet import TasNet
-from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.parallel.mesh import (initialize_distributed, make_mesh,
+                                         put_global_batch)
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
@@ -102,7 +103,7 @@ def main():
     step_count = 0
 
     def run(state, batch):
-        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        dev = put_global_batch(data_sh, batch)
         return step_fn(state, dev)
 
     state, metrics = run(state, first)
@@ -114,13 +115,14 @@ def main():
             logger.info("epoch %d step %d -si_snr %.3f %.2f s/step",
                         epoch, step_count, float(metrics["loss"]),
                         (time.time() - t0) / step_count)
-        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+        if step_count % int(cfg.train.save_every_steps) == 0:
+            # all ranks call save (orbax is a global collective; primary writes)
             ckpt.save(jax.device_get({"params": state.params}), step_count)
         if max_steps and step_count >= max_steps:
             break
 
-    if jax.process_index() == 0:
-        ckpt.save(jax.device_get({"params": state.params}), step_count)
+    # all ranks call save (orbax is a global collective; primary writes)
+    ckpt.save(jax.device_get({"params": state.params}), step_count)
     logger.info("done: %d steps", step_count)
 
 

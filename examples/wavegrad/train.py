@@ -28,7 +28,8 @@ from mindaudio_tpu.models.wavegrad import (
     default_noise_schedule,
     diffuse,
 )
-from mindaudio_tpu.parallel.mesh import initialize_distributed, make_mesh
+from mindaudio_tpu.parallel.mesh import (initialize_distributed, make_mesh,
+                                         put_global_batch)
 from mindaudio_tpu.train.checkpoint import CheckpointManager
 from mindaudio_tpu.train.config import get_config
 from mindaudio_tpu.train.log import get_logger
@@ -52,10 +53,15 @@ def crop_iterator(cfg, batch_size, epochs, seed=0, rank=0, world_size=1):
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(utts))
         sel = order[: (len(order) // batch_size) * batch_size].reshape(-1, batch_size)
-        n_even = len(sel) // world_size * world_size  # equal per-rank counts
-        for batch_idx in sel[rank:n_even:world_size]:
-            mel = np.zeros((batch_size, crop, int(cfg.data.n_mels)), np.float32)
-            audio = np.zeros((batch_size, crop * hop), np.float32)
+        # multi-process DP: identical batch sequence on all ranks, each rank
+        # loads its contiguous 1/world_size row block (the global batch is
+        # assembled by parallel.mesh.put_global_batch)
+        for batch_idx in sel:
+            if world_size > 1:
+                local = batch_size // world_size
+                batch_idx = batch_idx[rank * local:(rank + 1) * local]
+            mel = np.zeros((len(batch_idx), crop, int(cfg.data.n_mels)), np.float32)
+            audio = np.zeros((len(batch_idx), crop * hop), np.float32)
             for i, u in enumerate(batch_idx):
                 d = np.load(os.path.join(feature_dir, utts[u] + ".npy"),
                             allow_pickle=True).item()
@@ -138,7 +144,7 @@ def main():
     step_count = 0
 
     def run(state, batch):
-        dev = {k: jax.device_put(jnp.asarray(v), data_sh) for k, v in batch.items()}
+        dev = put_global_batch(data_sh, batch)
         return step_fn(state, dev)
 
     state, metrics = run(state, first)
@@ -150,13 +156,14 @@ def main():
             logger.info("epoch %d step %d loss %.5f %.2f s/step",
                         epoch, step_count, float(metrics["loss"]),
                         (time.time() - t0) / step_count)
-        if step_count % int(cfg.train.save_every_steps) == 0 and jax.process_index() == 0:
+        if step_count % int(cfg.train.save_every_steps) == 0:
+            # all ranks call save (orbax is a global collective; primary writes)
             ckpt.save(jax.device_get({"params": state.params}), step_count)
         if max_steps and step_count >= max_steps:
             break
 
-    if jax.process_index() == 0:
-        ckpt.save(jax.device_get({"params": state.params}), step_count)
+    # all ranks call save (orbax is a global collective; primary writes)
+    ckpt.save(jax.device_get({"params": state.params}), step_count)
     logger.info("done: %d steps", step_count)
 
 

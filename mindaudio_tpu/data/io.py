@@ -27,7 +27,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["read", "write", "pin_memory", "recursive_to"]
+__all__ = ["read", "write", "info", "pin_memory", "recursive_to"]
 
 _PCM = 0x0001
 _IEEE_FLOAT = 0x0003
@@ -88,6 +88,22 @@ def _parse_header(f):
             return fmt_code, channels, rate, bits, block_align, f.tell(), size, big
         else:
             f.seek(size + (size % 2), 1)
+
+
+def info(file):
+    """Header-only probe: ``(frames, rate, channels, bits)`` without reading
+    audio data (O(header) — used by data pipelines that need lengths of many
+    files, e.g. multi-process bucketing where every rank must agree on the
+    batch's bucket shape without decoding other ranks' rows)."""
+    own = not hasattr(file, "read")
+    f = open(file, "rb") if own else file
+    try:
+        _, channels, rate, bits, block_align, _, data_size, _ = _parse_header(f)
+        block = block_align or max(1, channels * ((bits + 7) // 8))
+        return data_size // block, rate, channels, bits
+    finally:
+        if own:
+            f.close()
 
 
 def read(file, offset=0.0, duration=None):

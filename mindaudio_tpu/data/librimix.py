@@ -73,11 +73,16 @@ def separation_batch_iterator(
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(n) if shuffle else np.arange(n)
         sel = order[: (n // batch_size) * batch_size].reshape(-1, batch_size)
-        n_even = len(sel) // world_size * world_size  # equal per-rank counts
-        for batch_idx in sel[rank:n_even:world_size]:
-            mix = np.zeros((batch_size, segment_len), np.float32)
-            src = np.zeros((batch_size, len(sources), segment_len), np.float32)
-            lengths = np.zeros((batch_size,), np.int32)
+        # multi-process DP: identical batch sequence on all ranks, each rank
+        # loads its contiguous 1/world_size row block (the global batch is
+        # assembled by parallel.mesh.put_global_batch)
+        for batch_idx in sel:
+            if world_size > 1:
+                local = batch_size // world_size
+                batch_idx = batch_idx[rank * local:(rank + 1) * local]
+            mix = np.zeros((len(batch_idx), segment_len), np.float32)
+            src = np.zeros((len(batch_idx), len(sources), segment_len), np.float32)
+            lengths = np.zeros((len(batch_idx),), np.int32)
             for bi, i in enumerate(batch_idx):
                 m = _load(mix_list[i][0])
                 ss = [_load(sl[i][0]) for sl in src_lists]

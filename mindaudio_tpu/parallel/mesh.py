@@ -22,6 +22,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "shard_batch",
+    "put_global_batch",
     "batch_sharding",
     "replicated",
     "barrier",
@@ -46,10 +47,17 @@ def initialize_distributed():
     if _distributed_initialized:
         return
     explicit = int(os.environ.get("JAX_NUM_PROCESSES", os.environ.get("NPROC", "1")))
-    pod_env = any(os.environ.get(v) for v in (
-        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS",
-        "COORDINATOR_ADDRESS",
-    ))
+    # multi-host evidence only: a single-entry TPU_WORKER_HOSTNAMES (every
+    # single-host TPU VM exports one) or TPU_WORKER_ID=0 alone must NOT
+    # trigger a doomed initialize() + warning on 1-host runs
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    worker_id = os.environ.get("TPU_WORKER_ID", "")
+    pod_env = (
+        "," in hostnames
+        or worker_id not in ("", "0")
+        or any(os.environ.get(v) for v in (
+            "MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+    )
     if explicit > 1 or pod_env:
         try:
             jax.distributed.initialize()
@@ -103,8 +111,32 @@ def replicated(mesh):
 
 def shard_batch(mesh, batch):
     """Device-put a host batch pytree with leading-axis data sharding."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return put_global_batch(batch_sharding(mesh), batch)
+
+
+def put_global_batch(sharding, batch):
+    """Upload a process-LOCAL host batch as the GLOBAL sharded array pytree.
+
+    Single-process: a plain sharded ``device_put`` (the local batch IS the
+    global batch). Multi-process: every process holds only its rank's slice
+    of the global batch (the recipes' samplers yield the same batch sequence
+    on all ranks and each rank collates rows
+    ``[rank*local : (rank+1)*local]``), so a raw ``device_put`` would treat
+    the local slice as the whole global array and target non-addressable
+    devices — ``jax.make_array_from_process_local_data`` instead assembles
+    the global array from per-process shards, inferring the global leading
+    dim as ``world_size * local``. This is the TPU-native counterpart of the
+    reference's rank-sharded ``GeneratorDataset`` feed into
+    ``ParallelMode.DATA_PARALLEL`` (reference examples/conformer/train.py:73-80,
+    dataset.py:553-556).
+    """
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch)
 
 
 def barrier(name: str = "sync"):

@@ -43,7 +43,14 @@ def list_steps(directory):
 
 
 def save_checkpoint(directory, state, step):
-    """Write ``state`` pytree at ``directory/step_{step}`` (blocking)."""
+    """Write ``state`` pytree at ``directory/step_{step}`` (blocking).
+
+    Multi-process: call on ALL processes — orbax save is a global collective
+    (it synchronizes every JAX process and lets the primary host write);
+    gating it on ``process_index() == 0`` deadlocks the other ranks'
+    next collective. This replaces the reference's lock-file rank-0
+    coordination (reference callback.py:122-156) with orbax's own barriers.
+    """
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
@@ -138,11 +145,15 @@ class CheckpointManager:
         self.scores = load_scores(self.directory)
 
     def save(self, state, step, eval_metric=None):
+        """Call on ALL processes (see :func:`save_checkpoint`); score-file
+        writes and retention pruning are process-0 side effects."""
         save_checkpoint(self.directory, state, step)
         if eval_metric is not None:
             self.scores[step] = float(eval_metric)
-            self._write_scores()
-        self._prune()
+            if jax.process_index() == 0:
+                self._write_scores()
+        if jax.process_index() == 0:
+            self._prune()
 
     def _write_scores(self):
         import json

@@ -66,6 +66,56 @@ class TestDeepSpeech2:
         assert logits.shape[0] == 2 and logits.shape[2] == 29
         assert int(out_lens[0]) == logits.shape[1]
 
+    def test_fused_bilstm_matches_flax_rnn_cell(self, rng):
+        """BiLSTM (hoisted input projections, one scan for both directions)
+        must be numerically identical to the flax
+        ``RNN(OptimizedLSTMCell)`` fwd + reversed(keep_order) pair it
+        replaced — same math, MXU-friendly schedule."""
+        import flax.linen as nn
+        import numpy as np
+
+        from mindaudio_tpu.models.deepspeech2 import BiLSTM
+
+        B, T, D, H = 3, 17, 12, 8
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((B, T, D)),
+                        jnp.float32)
+        lengths = jnp.asarray([17, 9, 1], jnp.int32)
+
+        class Ref(nn.Module):
+            @nn.compact
+            def __call__(self, x, lengths):
+                fwd = nn.RNN(nn.OptimizedLSTMCell(H), name="fwd")(
+                    x, seq_lengths=lengths)
+                bwd = nn.RNN(nn.OptimizedLSTMCell(H), reverse=True,
+                             keep_order=True, name="bwd")(x, seq_lengths=lengths)
+                return fwd + bwd
+
+        ref = Ref()
+        ref_vars = ref.init(rng, x, lengths)
+        want = ref.apply(ref_vars, x, lengths)
+
+        # map the flax per-gate params onto the fused (2, D, 4H) blocks
+        def gates(cell, name, key):
+            return np.concatenate(
+                [np.asarray(cell[f"{name}{g}"][key]) for g in "ifgo"], -1)
+
+        cells = [ref_vars["params"]["OptimizedLSTMCell_0"],
+                 ref_vars["params"]["OptimizedLSTMCell_1"]]
+        fused_params = {"params": {
+            "wx": jnp.stack([gates(c, "i", "kernel") for c in cells]),
+            "wh": jnp.stack([gates(c, "h", "kernel") for c in cells]),
+            "bias": jnp.stack([gates(c, "h", "bias") for c in cells]),
+        }}
+        got = BiLSTM(H).apply(fused_params, x, lengths=lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        # and without lengths (full-T both directions)
+        want2 = ref.apply(ref_vars, x, None)
+        got2 = BiLSTM(H).apply(fused_params, x, lengths=None)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestEcapa:
     def test_embedding_and_classifier(self, rng):
