@@ -84,14 +84,153 @@ def compute_goldens():
     return out
 
 
+class _AnyAttr:
+    """Attribute sink for stubbing enum containers (BorderType & co.)."""
+
+    def __getattr__(self, name):
+        return name
+
+
+def _load_reference_module(path, module_name, extra_modules=()):
+    """Execute a reference source file from /root/reference with mindspore
+    (and mindaudio, for recipe files) stubbed out, returning the module.
+
+    Only its pure-NumPy functions are then CALLED — this produces golden
+    values computed by the reference's own math, without mindspore and
+    without committing any reference code (only the .npz outputs are
+    committed).
+    """
+    import importlib.util
+    import sys
+    import types
+
+    def stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
+
+    class _NeverTensor:
+        """Placeholder for ms.Tensor in isinstance checks (never matches)."""
+
+    enum = _AnyAttr()
+    stubs = {
+        "mindspore": stub("mindspore", Tensor=_NeverTensor),
+        "mindspore.dataset": stub("mindspore.dataset"),
+        "mindspore.dataset.engine": stub("mindspore.dataset.engine"),
+        "mindspore.dataset.audio": stub("mindspore.dataset.audio"),
+        "mindspore.dataset.audio.utils": stub(
+            "mindspore.dataset.audio.utils", BorderType=enum, MelType=enum,
+            NormType=enum, WindowType=enum),
+        "mindaudio": stub("mindaudio"),
+        "mindaudio.utils": stub("mindaudio.utils"),
+        "mindaudio.utils.common": stub(
+            "mindaudio.utils.common", IGNORE_ID=-1, add_sos_eos=None,
+            pad_sequence=None),
+        "mindaudio.utils.distributed": stub(
+            "mindaudio.utils.distributed", DistributedSampler=object),
+        "mindaudio.utils.log": stub(
+            "mindaudio.utils.log", get_logger=lambda *a, **k: None),
+        "mindaudio.utils.mask": stub(
+            "mindaudio.utils.mask", add_optional_chunk_mask=None,
+            make_pad_mask=None, subsequent_mask=None),
+    }
+    for name in extra_modules:
+        stubs[name] = stub(name)
+    stubs["mindspore"].dataset = stubs["mindspore.dataset"]
+    stubs["mindspore.dataset"].audio = stubs["mindspore.dataset.audio"]
+    stubs["mindspore.dataset"].engine = stubs["mindspore.dataset.engine"]
+
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(module_name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def make_reference_goldens():
+    """Golden values computed by the REFERENCE's own NumPy code over the
+    audio fixtures: librosa-convention stft (reference
+    mindaudio/data/spectrum.py:125-280) and the conformer recipe's povey
+    fbank (reference examples/conformer/dataset.py:117-190). test_golden.py
+    asserts the repo's host and device paths against these."""
+    ref_spectrum = _load_reference_module(
+        "/root/reference/mindaudio/data/spectrum.py", "_ref_spectrum")
+    ref_dataset = _load_reference_module(
+        "/root/reference/examples/conformer/dataset.py", "_ref_conf_dataset")
+
+    clips = load_clips()
+    out = {}
+    for name, (x, sr) in clips.items():
+        s = ref_spectrum.stft(x.astype(np.float64), n_fft=512, hop_length=160)
+        out[f"{name}/ref_stft_mag"] = np.abs(s).astype(np.float32)
+
+    x, sr = clips["aishell"]
+    out["aishell/ref_recipe_fbank"] = np.asarray(
+        ref_dataset.compute_fbank_feats(
+            x.astype(np.float64), sample_rate=sr, frame_len=25,
+            frame_shift=10, mel_bin=80),
+        np.float32)
+    return out
+
+
+def make_bss_eval_goldens():
+    """Golden SDR/SIR/SAR from the INDEPENDENT design-matrix implementation
+    in tests/test_bss_eval.py (mir_eval is absent in this image; the direct
+    least-squares path is the cross-check for the FFT/Toeplitz
+    implementation in metric/snr.py)."""
+    import itertools
+
+    from test_bss_eval import _mixture, direct_bss_sdr
+
+    seed, t, flen = 7, 1200, 48
+    refs, ests = _mixture(seed, t=t)
+    nsrc = refs.shape[0]
+    sdr_all = np.empty((nsrc, nsrc))
+    sir_all = np.empty((nsrc, nsrc))
+    sar_all = np.empty((nsrc, nsrc))
+    for jest in range(nsrc):
+        for jtrue in range(nsrc):
+            (sdr_all[jest, jtrue], sir_all[jest, jtrue],
+             sar_all[jest, jtrue]) = direct_bss_sdr(refs, ests[jest], jtrue,
+                                                    flen)
+    best_perm = max(itertools.permutations(range(nsrc)),
+                    key=lambda p: np.mean([sir_all[p[j], j]
+                                           for j in range(nsrc)]))
+    idx, dum = np.asarray(best_perm), np.arange(nsrc)
+    return {
+        "seed": np.int64(seed), "t": np.int64(t), "flen": np.int64(flen),
+        "sdr": sdr_all[idx, dum], "sir": sir_all[idx, dum],
+        "sar": sar_all[idx, dum], "perm": idx,
+    }
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.join(here, "goldens"), exist_ok=True)
+
     dst = os.path.join(here, "goldens", "dsp_goldens.npz")
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
     goldens = compute_goldens()
+    goldens.update(make_reference_goldens())
     np.savez_compressed(dst, **goldens)
     size = os.path.getsize(dst) / 1e6
     print(f"wrote {dst} ({size:.2f} MB, {len(goldens)} arrays)")
+
+    import sys
+
+    sys.path.insert(0, here)
+    bss = make_bss_eval_goldens()
+    dst2 = os.path.join(here, "goldens", "bss_eval_goldens.npz")
+    np.savez_compressed(dst2, **bss)
+    print(f"wrote {dst2} (sdr={bss['sdr']}, perm={bss['perm']})")
 
 
 if __name__ == "__main__":

@@ -164,3 +164,53 @@ class TestDeviceGolden:
         y = np.asarray(dsp.istft(S, n_fft=512, hop_length=160, length=len(x),
                                  precision="highest"))
         assert np.max(np.abs(y - x)) < 1e-4
+
+
+class TestReferenceDerivedGolden:
+    """Assertions against values computed by the REFERENCE's own NumPy code
+    (executed from /root/reference by tests/make_goldens.py — keys
+    ``*/ref_*``). Unlike the self-recorded goldens above, these prove
+    equality with the reference's math, not just freedom from drift.
+
+    (Reference ``features.fbank``/``mfcc`` delegate to mindspore's C++
+    dataset kernels, so reference-produced goldens are only obtainable for
+    its pure-NumPy functions: the spectrum stft and the conformer recipe's
+    hand-rolled fbank.)
+    """
+
+    @pytest.mark.parametrize("clip", CLIPS)
+    def test_host_stft_equals_reference_stft(self, g, clip):
+        """reference mindaudio/data/spectrum.py:125 stft — bit-for-bit."""
+        from mindaudio_tpu.data import spectrum
+
+        x = g[f"{clip}/wav"]
+        S = spectrum.stft(x, n_fft=512, hop_length=160)
+        np.testing.assert_allclose(np.abs(S), g[f"{clip}/ref_stft_mag"],
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_device_kaldi_fbank_matches_reference_recipe_fbank(self, g):
+        """reference examples/conformer/dataset.py:159 compute_fbank_feats.
+
+        Two documented convention deltas between the kaldi-style device op
+        and the recipe's hand-rolled NumPy: (1) kaldi scales float input to
+        int16 range — a constant ``2*log(32768)`` log-mel offset (absorbed
+        by CMVN in training); (2) the recipe subtracts a single global mean
+        over windowed frames where kaldi removes per-frame DC — compared
+        with ``remove_dc=False``. Residual = the per-frame vs whole-signal
+        preemphasis boundary sample: < 0.2 absolute on a ~21 log-mel scale.
+        """
+        import jax.numpy as jnp
+
+        from mindaudio_tpu.ops import spectral as dsp
+
+        x, sr = g["aishell/wav"], int(g["aishell/sr"])
+        kf = np.asarray(dsp.kaldi_fbank(jnp.asarray(x[None]),
+                                        num_mel_bins=80, sample_rate=sr,
+                                        remove_dc=False,
+                                        precision="highest")[0])
+        kf = kf - 2.0 * np.log(32768.0)
+        ref = g["aishell/ref_recipe_fbank"]
+        assert kf.shape == ref.shape
+        err = np.abs(kf - ref)
+        assert err.max() < 0.25, err.max()
+        assert err.mean() < 0.005, err.mean()
