@@ -126,8 +126,8 @@ def main():
 
     print(json.dumps({
         "steps": args.steps, "final_loss": float(loss), "utts": count,
-        "si_snri_db": round(si_snri / count, 2),
-        "sdri_db_bss_eval": round(sdri / count, 2),
+        "si_snri_db": round(float(si_snri) / count, 2),
+        "sdri_db_bss_eval": round(float(sdri) / count, 2),
     }))
 
 

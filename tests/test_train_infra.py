@@ -381,3 +381,38 @@ class TestFastDropoutRng:
         rbg_data = jax.random.key_data(jax.random.key(1, impl="rbg"))
         out = jax.random.normal(as_dropout_key(rbg_data), (3,))
         assert out.shape == (3,)
+
+
+class TestCTCLoss:
+    def test_matches_optax_values_and_grads(self):
+        """The unrolled-scan CTC recursion must equal optax.ctc_loss (same
+        Graves forward algorithm) in value AND gradient, for every unroll."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from mindaudio_tpu.loss.ctc_loss import ctc_loss
+
+        rng = np.random.default_rng(0)
+        b, t, k, n = 3, 37, 11, 9
+        logits = jnp.asarray(rng.standard_normal((b, t, k)), jnp.float32)
+        logit_lens = jnp.asarray([37, 25, 10], jnp.int32)
+        labels = jnp.asarray(rng.integers(1, k, size=(b, n)), jnp.int32)
+        # include a repeated label to exercise the repeat-transition branch
+        labels = labels.at[0, 2].set(labels[0, 1])
+        label_lens = jnp.asarray([9, 5, 2], jnp.int32)
+
+        def optax_mean(lg):
+            lp = (jnp.arange(t)[None] >= logit_lens[:, None]).astype(jnp.float32)
+            labp = (jnp.arange(n)[None] >= label_lens[:, None]).astype(jnp.float32)
+            return optax.ctc_loss(lg, lp, labels, labp, blank_id=0).mean()
+
+        want, want_g = jax.value_and_grad(optax_mean)(logits)
+        for unroll in (1, 8):
+            got, got_g = jax.value_and_grad(
+                lambda lg: ctc_loss(lg, logit_lens, labels, label_lens,
+                                    unroll=unroll))(logits)
+            np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                       rtol=1e-4, atol=1e-5)
