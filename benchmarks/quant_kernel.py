@@ -21,11 +21,9 @@ for name, (m, k, n) in {
     vq_d, s_d = jnp.asarray(vq), jnp.asarray(s)
     wb = jnp.asarray(w, jnp.bfloat16)
 
-    # large-M shapes pass a bigger block_m so the Pallas kernel (not the
-    # dequant+XLA fallback that int8_matmul uses past 4 M-blocks) is what
-    # gets timed
-    bm = 128 if m <= 512 else max(128, m // 4)
-    f_q = jax.jit(lambda x: int8_matmul(x, vq_d, s_d, block_m=bm))
+    # the weight-resident (N-outer, M-inner) grid is general across M now —
+    # no fallback, default tiling
+    f_q = jax.jit(lambda x: int8_matmul(x, vq_d, s_d))
     f_b = jax.jit(lambda x: (x @ wb).astype(jnp.float32))
     # correctness
     a, b = np.asarray(f_q(x)), np.asarray(f_b(x))

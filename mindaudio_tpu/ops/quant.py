@@ -55,10 +55,22 @@ def dequantize_int8(values, scales):
     return jnp.asarray(values, jnp.float32) * jnp.asarray(scales)[None, :]
 
 
-def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, wde_ref):
     # x: (TM, K) bf16 — w: (K, TN) int8 — s: (1, TN) f32 — o: (TM, TN) f32
-    w = w_ref[:].astype(jnp.bfloat16) * s_ref[:].astype(jnp.bfloat16)
-    o_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    # Grid is (N-blocks, M-blocks): M iterates INNERMOST, so the int8 weight
+    # tile (index map constant in the inner dim) stays VMEM-resident across
+    # all M-blocks and is dequantized ONCE per N-tile into the persistent
+    # scratch — the old (M, N) grid re-fetched AND re-dequantized it per
+    # M-block, which is why training-sized M needed an XLA fallback.
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _dequant():
+        wde_ref[:] = w_ref[:].astype(jnp.bfloat16) * s_ref[:].astype(
+            jnp.bfloat16)
+
+    o_ref[:] = jnp.dot(x_ref[:], wde_ref[:],
+                       preferred_element_type=jnp.float32)
 
 
 def _pad_to(x, m, axis):
@@ -70,14 +82,40 @@ def _pad_to(x, m, axis):
     return jnp.pad(x, widths)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+
+
+def _pick_block_n(m_blocks, k, n, block_m):
+    """Largest 128-multiple N-tile whose working set fits the VMEM budget.
+
+    Working set per grid step: int8 w tile (K*TN) + bf16 dequant scratch
+    (2*K*TN) + bf16 x tile (2*TM*K) + f32 out tile (4*TM*TN). A bigger TN
+    means fewer re-reads of x (x traffic = M*K*ceil(N/TN)), so prefer the
+    whole N when it fits.
+    """
+    for block_n in range(((n + 127) // 128) * 128, 0, -128):
+        use = 3 * k * block_n + 2 * block_m * k + 4 * block_m * block_n
+        if use <= _VMEM_BUDGET:
+            return block_n
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
-def int8_matmul(x, values, scales, block_m=128, block_n=128, interpret=False):
+def int8_matmul(x, values, scales, block_m=128, block_n=None, interpret=False):
     """``x @ (values * scales)`` with int8 weights dequantized in VMEM.
+
+    General for any M (serving AND training sizes): the weight never takes
+    an HBM round-trip at bf16 width — total HBM traffic is
+    ``K*N`` int8 (once) + ``M*K*ceil(N/TN)`` activations + ``M*N`` out,
+    vs XLA's dequantize-then-matmul which writes and re-reads a 2-4x wider
+    bf16 weight copy.
 
     Args:
         x: (..., K) activations (any float dtype; computed in bf16).
         values: (K, N) int8 weights.
         scales: (N,) f32 per-output-channel scales.
+        block_n: N-tile; default picks the largest VMEM-fitting tile
+            (usually all of N — then x streams through exactly once).
 
     Returns:
         (..., N) in x's dtype (f32 accumulation inside).
@@ -92,39 +130,33 @@ def int8_matmul(x, values, scales, block_m=128, block_n=128, interpret=False):
     x2 = x.reshape(-1, k).astype(jnp.bfloat16)
     m = x2.shape[0]
 
-    # The Pallas grid reloads the (K, block_n) weight tile for every M-block,
-    # so past a few M-blocks the re-reads cost more than they save — that
-    # regime (training-sized M) isn't weight-bound anyway. Keep int8 storage
-    # but dequantize once and let XLA matmul.
-    if m > 4 * block_m:
-        w = (values.astype(jnp.bfloat16)
-             * scales.astype(jnp.bfloat16)[None, :])
-        out = jnp.matmul(x2, w, preferred_element_type=jnp.float32)
-        return out.reshape(*lead, n).astype(orig_dtype)
-
     # pad to tile multiples (the MXU wants aligned tiles; K is unpadded —
     # it is the contraction dim and d_model/ffn dims are already 128-aligned
     # in this framework)
     xp = _pad_to(x2, block_m, 0)
+    mp = xp.shape[0]
+    if block_n is None:
+        block_n = _pick_block_n(mp // block_m, k, n, block_m)
     wp = _pad_to(values, block_n, 1)
     sp = _pad_to(scales.reshape(1, -1).astype(jnp.float32), block_n, 1)
-    mp, np_ = xp.shape[0], wp.shape[1]
+    np_ = wp.shape[1]
 
-    grid = (mp // block_m, np_ // block_n)
+    grid = (np_ // block_n, mp // block_m)  # M innermost: weight stays put
     out = pl.pallas_call(
         _int8_matmul_kernel,
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, k), lambda i, j: (i, 0),
+            pl.BlockSpec((block_m, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+            pl.BlockSpec((k, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k, block_n), jnp.bfloat16)],
         interpret=interpret,
     )(xp, wp, sp)
     return out[:m, :n].reshape(*lead, n).astype(orig_dtype)

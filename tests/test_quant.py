@@ -42,6 +42,21 @@ class TestInt8Matmul:
         # and close to the unquantized f32 product (quant + bf16 error)
         np.testing.assert_allclose(got, x @ w, rtol=0.1, atol=0.1)
 
+    def test_training_sized_m_multi_tile(self):
+        """Many M-blocks AND multiple N-tiles: the weight-resident grid
+        (N outer, M inner, dequant-once scratch) must stay exact — this M
+        regime used to bail to an XLA dequant fallback."""
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((640, 128)).astype(np.float32)  # 5 M-blocks
+        w = rng.standard_normal((128, 384)).astype(np.float32) * 0.05
+        vq, s = quantize_int8(w)
+        got = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(vq),
+                                     jnp.asarray(s), block_n=128,
+                                     interpret=True))
+        want = np.asarray(jnp.asarray(x, jnp.bfloat16)
+                          @ jnp.asarray(dequantize_int8(vq, s), jnp.bfloat16))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
     def test_leading_dims_and_padding(self):
         rng = np.random.default_rng(2)
         x = rng.standard_normal((2, 5, 128)).astype(np.float32)  # M=10, pad
