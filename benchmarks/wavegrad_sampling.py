@@ -1,5 +1,12 @@
 """WaveGrad sampling: 1000-step vs 6-step schedule (PERF.md).
 
+Also the VERDICT-r2 compile diagnosis: round 2 measured "compile+first
+17 min" for the 1000-step sampler by jitting a closure over params/mel —
+which embeds the full weight set as PROGRAM CONSTANTS. This version passes
+params/mel as arguments (no constant embedding, donation-friendly) and
+times trace/lower, compile, and execution separately so a slow backend
+compile can't be confused with first-call execution.
+
 Run on a real chip: python benchmarks/wavegrad_sampling.py
 """
 import sys, time, json
@@ -19,15 +26,27 @@ apply_fn = lambda p, m, a, s: model.apply({"params": p}, m, a, s)
 out = {}
 for name, betas in [("steps_1000", default_noise_schedule()),
                     ("steps_6", fast_noise_schedule())]:
-    f = jax.jit(lambda key: reverse_diffusion(params, apply_fn, mel, key,
-                                              betas=jnp.asarray(betas), hop=300))
+    betas = jnp.asarray(betas)
+
+    def sample(params, mel, key, betas=betas):
+        return reverse_diffusion(params, apply_fn, mel, key, betas=betas,
+                                 hop=300)
+
+    f = jax.jit(sample)
     t0 = time.time()
-    f(rng).block_until_ready()
-    print(name, "compile+first:", round(time.time() - t0, 1), "s", flush=True)
+    lowered = f.lower(params, mel, rng)
+    t1 = time.time()
+    compiled = lowered.compile()
+    t2 = time.time()
+    compiled(params, mel, rng).block_until_ready()
+    t3 = time.time()
+    print(f"{name}: lower {t1-t0:.1f}s compile {t2-t1:.1f}s "
+          f"first-exec {t3-t2:.1f}s", flush=True)
+    out[name + "_compile_s"] = round(t2 - t1, 1)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        f(rng).block_until_ready()
+        compiled(params, mel, rng).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     out[name + "_ms"] = round(best * 1e3, 1)
 out["speedup"] = round(out["steps_1000_ms"] / out["steps_6_ms"], 1)
