@@ -78,9 +78,13 @@ def _flops_of(compiled) -> float | None:
         return None
 
 
-def conformer_train_bench(batch_size=16, seconds=10, label_len=20,
+def conformer_train_bench(batch_size=32, seconds=10, label_len=20,
                           vocab=4233, n_iter=10):
-    """Flagship train-step benchmark: MFU + tokens/s on the real chip."""
+    """Flagship train-step benchmark: MFU + tokens/s on the real chip.
+
+    B=32 is the recipe default since round 3 (conformer.yaml batch_factor
+    1.34): the measured utts/s knee — 820 vs 701 at B=16 (PERF.md B-sweep).
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -163,7 +167,8 @@ def conformer_train_bench(batch_size=16, seconds=10, label_len=20,
     )["params"]
     state = TrainState.create(
         apply_fn=model.apply, params=params,
-        tx=optax.adamw(1e-3, weight_decay=1e-2),
+        # bf16 mu mirrors the recipe default (conformer.yaml optim.mu_dtype)
+        tx=optax.adamw(1e-3, weight_decay=1e-2, mu_dtype=jnp.bfloat16),
         dropout_rng=fast_dropout_rng(1),
     )
 

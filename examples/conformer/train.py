@@ -191,7 +191,13 @@ def main():
     init_batch.update(feats=feats, feat_lens=feat_lens)
 
     schedule = asr_warmup_lr(cfg.optim.lr, cfg.optim.warmup_steps)
-    tx = optax.adamw(schedule, weight_decay=cfg.optim.weight_decay)
+    # bf16 first moment halves AdamW's mu HBM traffic (~2 ms of the step is
+    # optimizer elementwise over 3x43M f32 leaves — PERF.md ablation); the
+    # second moment and params stay f32 for update precision
+    mu_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        str(cfg.optim.get("mu_dtype", "bfloat16"))]
+    tx = optax.adamw(schedule, weight_decay=cfg.optim.weight_decay,
+                     mu_dtype=mu_dtype)
 
     # resume: restore params/opt_state/step from the latest checkpoint
     # (reference ResumeCallback + start_steps LR offset, callback.py:450,
