@@ -69,8 +69,11 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, wde_ref):
         wde_ref[:] = w_ref[:].astype(jnp.bfloat16) * s_ref[:].astype(
             jnp.bfloat16)
 
+    # f32 accumulation on the MXU; the store narrows to the output dtype
+    # (bf16 out halves the dominant HBM stream at large M — XLA can't fuse
+    # a cast into an opaque Pallas output, so the kernel does it itself)
     o_ref[:] = jnp.dot(x_ref[:], wde_ref[:],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _pad_to(x, m, axis):
@@ -118,7 +121,9 @@ def int8_matmul(x, values, scales, block_m=128, block_n=None, interpret=False):
             (usually all of N — then x streams through exactly once).
 
     Returns:
-        (..., N) in x's dtype (f32 accumulation inside).
+        (..., N) in x's dtype (f32 accumulation inside; the narrowing to
+        bf16 happens in the kernel's store, so a bf16 caller never pays an
+        f32-width output round-trip through HBM).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -141,10 +146,12 @@ def int8_matmul(x, values, scales, block_m=128, block_n=None, interpret=False):
     sp = _pad_to(scales.reshape(1, -1).astype(jnp.float32), block_n, 1)
     np_ = wp.shape[1]
 
+    out_dtype = orig_dtype if orig_dtype in (jnp.bfloat16, jnp.float16,
+                                             jnp.float32) else jnp.float32
     grid = (np_ // block_n, mp // block_m)  # M innermost: weight stays put
     out = pl.pallas_call(
         _int8_matmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, k), lambda j, i: (i, 0),
