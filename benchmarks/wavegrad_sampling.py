@@ -26,11 +26,19 @@ apply_fn = lambda p, m, a, s: model.apply({"params": p}, m, a, s)
 out = {}
 for name, betas in [("steps_1000", default_noise_schedule()),
                     ("steps_6", fast_noise_schedule())]:
-    betas = jnp.asarray(betas)
+    # betas stays HOST NumPy (the documented reverse_diffusion contract and
+    # what examples/wavegrad/reverse.py passes). jnp.asarray here forces a
+    # mid-trace device_get of a freshly-staged tunnel array, which scales
+    # with the schedule length (~0.33 s/element -> 332 s "lowering" at 1000
+    # steps, measured) while host constants lower in <1 s.
 
     def sample(params, mel, key, betas=betas):
-        return reverse_diffusion(params, apply_fn, mel, key, betas=betas,
-                                 hop=300)
+        audio = reverse_diffusion(params, apply_fn, mel, key, betas=betas,
+                                  hop=300)
+        # scalar tail: timing fetches this, forcing the whole scan — over
+        # the remote tunnel, block_until_ready on an unfetched array does
+        # NOT force device execution (see benchmarks/quant_kernel.py note)
+        return audio, jnp.sum(audio)
 
     f = jax.jit(sample)
     t0 = time.time()
@@ -38,7 +46,7 @@ for name, betas in [("steps_1000", default_noise_schedule()),
     t1 = time.time()
     compiled = lowered.compile()
     t2 = time.time()
-    compiled(params, mel, rng).block_until_ready()
+    float(compiled(params, mel, rng)[1])
     t3 = time.time()
     print(f"{name}: lower {t1-t0:.1f}s compile {t2-t1:.1f}s "
           f"first-exec {t3-t2:.1f}s", flush=True)
@@ -46,7 +54,7 @@ for name, betas in [("steps_1000", default_noise_schedule()),
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        compiled(params, mel, rng).block_until_ready()
+        float(compiled(params, mel, rng)[1])
         best = min(best, time.perf_counter() - t0)
     out[name + "_ms"] = round(best * 1e3, 1)
 out["speedup"] = round(out["steps_1000_ms"] / out["steps_6_ms"], 1)
