@@ -137,8 +137,13 @@ def main():
         (loss, (new_stats, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
         gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        # non-finite-safe clip: a single inf/NaN leaf must zero the update,
+        # not poison the params (inf * 0 = NaN otherwise)
+        scale = jnp.where(jnp.isfinite(gnorm),
+                          jnp.minimum(1.0, cfg.optim.grad_clip / (gnorm + 1e-6)),
+                          0.0)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g * scale, 0.0), grads)
         state = state.apply_gradients(grads=grads).replace(batch_stats=new_stats)
         return state, {"loss": loss, "acc": acc, "grad_norm": gnorm}
 

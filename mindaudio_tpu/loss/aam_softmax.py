@@ -31,8 +31,14 @@ def additive_angular_margin(cosine, targets_onehot, margin=0.2, scale=30.0, easy
     th = np.cos(np.pi - margin)
     mm = np.sin(np.pi - margin) * margin
 
-    sine = jnp.sqrt(jnp.clip(1.0 - cosine**2, 0.0, 1.0))
-    phi = cosine * cos_m - sine * sin_m  # cos(θ + m)
+    # Clamp strictly inside (-1, 1) before the sine: d/dx sqrt(1-x^2) is
+    # infinite at |x|=1, and on TPU the bf16 MXU cosine of two normalized
+    # vectors routinely lands at 1.0 or slightly above — unclamped, one such
+    # hit makes the whole gradient NaN (observed: all-NaN params after the
+    # first ECAPA train step on chip, while f32 CPU never reproduces it).
+    cosine_in = jnp.clip(cosine, -1.0 + 1e-4, 1.0 - 1e-4)
+    sine = jnp.sqrt(1.0 - cosine_in**2)
+    phi = cosine_in * cos_m - sine * sin_m  # cos(θ + m)
     if easy_margin:
         phi = jnp.where(cosine > 0, phi, cosine)
     else:

@@ -140,6 +140,17 @@ class TestEcapa:
         loss = aam_softmax_loss(cos, jnp.array([0, 1, 2, 3]))
         assert np.isfinite(float(loss))
 
+    def test_aam_grad_finite_at_saturated_cosine(self):
+        """bf16 MXU cosines can hit/exceed ±1; the gradient must stay finite
+        (unclamped sqrt(1-cos^2) has an infinite derivative there — this
+        NaN'd every param on the first chip train step)."""
+        from mindaudio_tpu.loss.aam_softmax import aam_softmax_loss
+
+        for v in (1.0, 1.0039, -1.0, -1.002):
+            cos = jnp.array([[v, 0.3, -0.2]])
+            g = jax.grad(lambda c: aam_softmax_loss(c, jnp.array([0])))(cos)
+            assert np.isfinite(np.asarray(g)).all(), f"NaN grad at cos={v}"
+
 
 class TestSeparation:
     def test_tasnet_forward(self, rng):
