@@ -88,23 +88,45 @@ def _pad_to(x, m, axis):
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
 
 
-def _pick_block_n(m_blocks, k, n, block_m):
-    """Largest 128-multiple N-tile whose working set fits the VMEM budget.
+def _pick_tiles(m, k, n, out_bytes):
+    """Choose ``(block_m, block_n)``: minimize padded compute first, then
+    maximize tile size under the VMEM budget.
 
-    Working set per grid step: int8 w tile (K*TN) + bf16 dequant scratch
-    (2*K*TN) + bf16 x tile (2*TM*K) + f32 out tile (4*TM*TN). A bigger TN
-    means fewer re-reads of x (x traffic = M*K*ceil(N/TN)), so prefer the
-    whole N when it fits.
+    Two measured failure modes of a fixed choice (PERF.md round-3 int8
+    microbench): (a) ``block_m=128`` at training sizes (M=4096, K=256) makes
+    32 tiny sequential grid steps whose pipeline overhead loses 25% to XLA's
+    bf16 matmul; (b) picking the largest VMEM-fitting ``block_n`` without
+    looking at padding turned N=2048/K=2048 into a 1792-tile → padded-3584
+    layout, 75% wasted compute on the second tile. Budget accounting below
+    doubles the in/out tiles (Pallas double-buffers the pipelined refs);
+    the dequant scratch is single-buffered.
     """
-    for block_n in range(((n + 127) // 128) * 128, 0, -128):
-        use = 3 * k * block_n + 2 * block_m * k + 4 * block_m * block_n
-        if use <= _VMEM_BUDGET:
-            return block_n
-    return 128
+    m_pad = -(-max(m, 1) // 128) * 128
+    n_pad = -(-n // 128) * 128
+    best = None
+    for bm in (1024, 512, 256, 128):
+        if bm > m_pad:
+            continue
+        for i in range(1, n_pad // 128 + 1):
+            bn = i * 128
+            padded = (-(-m_pad // bm) * bm) * (-(-n_pad // bn) * bn)
+            use = (2 * (2 * bm * k)          # bf16 x tile, double-buffered
+                   + 2 * (k * bn)            # int8 w tile, double-buffered
+                   + 2 * k * bn              # bf16 dequant scratch
+                   + 2 * (out_bytes * bm * bn)  # out tile, double-buffered
+                   + 2 * (4 * bn))           # scales
+            if use > _VMEM_BUDGET:
+                continue
+            key = (-padded, bm, bn)  # less padding, then bigger tiles
+            if best is None or key > best[0]:
+                best = (key, bm, bn)
+    if best is None:
+        return 128, 128
+    return best[1], best[2]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
-def int8_matmul(x, values, scales, block_m=128, block_n=None, interpret=False):
+def int8_matmul(x, values, scales, block_m=None, block_n=None, interpret=False):
     """``x @ (values * scales)`` with int8 weights dequantized in VMEM.
 
     General for any M (serving AND training sizes): the weight never takes
@@ -138,16 +160,16 @@ def int8_matmul(x, values, scales, block_m=128, block_n=None, interpret=False):
     # pad to tile multiples (the MXU wants aligned tiles; K is unpadded —
     # it is the contraction dim and d_model/ffn dims are already 128-aligned
     # in this framework)
+    out_dtype = orig_dtype if orig_dtype in (jnp.bfloat16, jnp.float16,
+                                             jnp.float32) else jnp.float32
+    auto_m, auto_n = _pick_tiles(m, k, n, jnp.dtype(out_dtype).itemsize)
+    block_m = block_m or auto_m
+    block_n = block_n or auto_n
     xp = _pad_to(x2, block_m, 0)
     mp = xp.shape[0]
-    if block_n is None:
-        block_n = _pick_block_n(mp // block_m, k, n, block_m)
     wp = _pad_to(values, block_n, 1)
     sp = _pad_to(scales.reshape(1, -1).astype(jnp.float32), block_n, 1)
     np_ = wp.shape[1]
-
-    out_dtype = orig_dtype if orig_dtype in (jnp.bfloat16, jnp.float16,
-                                             jnp.float32) else jnp.float32
     grid = (np_ // block_n, mp // block_m)  # M innermost: weight stays put
     out = pl.pallas_call(
         _int8_matmul_kernel,
