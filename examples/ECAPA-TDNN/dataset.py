@@ -70,13 +70,28 @@ class Augmenter:
         return out.astype(np.float32)
 
 
-def load_segment(row, seg_len: int) -> np.ndarray:
+def load_segment(row, seg_len: int, rng: Optional[np.random.Generator] = None
+                 ) -> np.ndarray:
+    """Read the row's audio and fit it to ``seg_len`` samples.
+
+    ``stop <= start`` means "the whole file" — the convention the eval side
+    (speaker_verification_cosine._read_full) and whole-utterance CSVs use; a
+    literal zero-length read here silently fed all-zero waveforms to training.
+    With ``rng``, a random ``seg_len`` crop is taken (training diversity);
+    without, the first ``seg_len`` samples (deterministic eval).
+    """
     start, stop = int(row["start"]), int(row["stop"])
-    x, sr = io.read(row["wav"], offset=start / SAMPLE_RATE,
-                    duration=(stop - start) / SAMPLE_RATE)
+    if stop > start:
+        x, sr = io.read(row["wav"], offset=start / SAMPLE_RATE,
+                        duration=(stop - start) / SAMPLE_RATE)
+    else:
+        x, sr = io.read(row["wav"])
     x = np.asarray(x, np.float32)
     if x.ndim > 1:
         x = x[:, 0]
+    if rng is not None and len(x) > seg_len:
+        off = int(rng.integers(0, len(x) - seg_len + 1))
+        x = x[off:off + seg_len]
     out = np.zeros(seg_len, np.float32)
     n = min(len(x), seg_len)
     out[:n] = x[:n]
@@ -108,7 +123,8 @@ def batch_iterator(
             if world_size > 1:
                 local = batch_size // world_size
                 batch_idx = batch_idx[rank * local:(rank + 1) * local]
-            wavs = np.stack([load_segment(rows[i], seg_len) for i in batch_idx])
+            wavs = np.stack([load_segment(rows[i], seg_len, rng=rng)
+                             for i in batch_idx])
             labels = np.asarray([spk2label[rows[i]["spk_id"]] for i in batch_idx],
                                 np.int32)
             if augmenter is not None:

@@ -166,9 +166,10 @@ def main():
         state, metrics = run(state, batch)
         step_count += 1
         if step_count % int(cfg.train.log_every_steps) == 0:
-            logger.info("epoch %d step %d loss %.4f acc %.3f %.2f s/step",
+            logger.info("epoch %d step %d loss %.4f acc %.3f gnorm %.3g %.2f s/step",
                         epoch, step_count, float(metrics["loss"]),
-                        float(metrics["acc"]), (time.time() - t0) / step_count)
+                        float(metrics["acc"]), float(metrics["grad_norm"]),
+                        (time.time() - t0) / step_count)
         if step_count % int(cfg.train.save_every_steps) == 0:
             # all ranks call save (orbax is a global collective; primary writes)
             ckpt.save(jax.device_get(

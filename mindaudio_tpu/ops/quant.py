@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "quantize_int8",
     "int8_matmul",
+    "int8_dynamic_matmul",
     "dequantize_int8",
     "quantize_dense_params",
     "intercept_dense_int8",
@@ -189,6 +190,41 @@ def int8_matmul(x, values, scales, block_m=None, block_n=None, interpret=False):
         interpret=interpret,
     )(xp, wp, sp)
     return out[:m, :n].reshape(*lead, n).astype(orig_dtype)
+
+
+@jax.jit
+def int8_dynamic_matmul(x, values, scales):
+    """W8A8: dynamically quantize activations per row and run the int8 MXU.
+
+    Weight-only int8 (:func:`int8_matmul`) still computes in bf16, so at
+    compute-bound shapes it can at best MATCH bf16. The v5e MXU runs int8 x
+    int8 → int32 at 2x the bf16 rate (394.5 TOP/s vs 197 TFLOP/s), so
+    quantizing the activation tile too is the only int8 path that can beat
+    bf16 where the matmul is compute-bound (large M serving batches). The
+    row-wise symmetric activation quantization and the (sx ⊗ sw) rescale
+    epilogue are cheap VPU elementwise ops XLA fuses around the matmul.
+
+    Accuracy: per-row activations + per-channel weights keeps the relative
+    error at the ~1% W8A8 level — serving-grade, not training-grade.
+
+    Args:
+        x: (..., K) float activations.
+        values: (K, N) int8 weights.
+        scales: (N,) f32 per-output-channel weight scales.
+
+    Returns:
+        (..., N) in x's dtype.
+    """
+    orig_dtype = x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k).astype(jnp.float32)
+    sx = jnp.maximum(jnp.abs(x2).max(axis=1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, values, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * scales[None, :].astype(jnp.float32)
+    return y.reshape(*lead, values.shape[1]).astype(orig_dtype)
 
 
 def quantize_dense_params(params, min_weights=65536):

@@ -6,7 +6,8 @@ exercised on the real chip by the serving bench)."""
 import jax.numpy as jnp
 import numpy as np
 
-from mindaudio_tpu.ops.quant import dequantize_int8, int8_matmul, quantize_int8
+from mindaudio_tpu.ops.quant import (dequantize_int8, int8_dynamic_matmul,
+                                     int8_matmul, quantize_int8)
 
 
 class TestQuantizeInt8:
@@ -69,6 +70,36 @@ class TestInt8Matmul:
                           @ jnp.asarray(dequantize_int8(vq, s), jnp.bfloat16))
         np.testing.assert_allclose(got.reshape(-1, 200), want,
                                    rtol=3e-2, atol=3e-2)
+
+
+class TestInt8DynamicMatmul:
+    def test_w8a8_accuracy_and_shapes(self):
+        """W8A8: per-row activation + per-channel weight quantization stays
+        at the ~1% relative-error serving level, preserves leading dims and
+        input dtype."""
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((3, 17, 256)).astype(np.float32)
+        w = rng.standard_normal((256, 320)).astype(np.float32) * 0.05
+        vq, s = quantize_int8(w)
+        got = np.asarray(int8_dynamic_matmul(jnp.asarray(x), jnp.asarray(vq),
+                                             jnp.asarray(s)))
+        assert got.shape == (3, 17, 320)
+        ref = x.reshape(-1, 256) @ w
+        rel = np.abs(got.reshape(-1, 320) - ref).max() / np.abs(ref).max()
+        assert rel < 0.03, rel
+
+        out_bf16 = int8_dynamic_matmul(jnp.asarray(x, jnp.bfloat16),
+                                       jnp.asarray(vq), jnp.asarray(s))
+        assert out_bf16.dtype == jnp.bfloat16
+
+    def test_zero_row_safe(self):
+        """An all-zero activation row must not divide by zero."""
+        x = np.zeros((4, 128), np.float32)
+        w = np.eye(128, dtype=np.float32)
+        vq, s = quantize_int8(w + 0.01)
+        got = np.asarray(int8_dynamic_matmul(jnp.asarray(x), jnp.asarray(vq),
+                                             jnp.asarray(s)))
+        assert np.isfinite(got).all() and np.abs(got).max() == 0.0
 
 
 class TestInt8Inference:

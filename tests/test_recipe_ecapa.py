@@ -129,6 +129,32 @@ def trained(corpus):
     return model, {"params": params, "batch_stats": batch_stats}
 
 
+class TestLoadSegment:
+    def test_whole_file_convention_not_silence(self, corpus):
+        """A ``stop <= start`` row means "whole file" (the eval-side and
+        whole-utterance-CSV convention) — it must NOT read a zero-length
+        segment. Regression: the convergence corpus wrote stop=0 and training
+        silently ran on all-zero waveforms, pinning AAM loss at the exact
+        all-zero-cosine value."""
+        _own_recipe_modules()
+        from dataset import load_segment
+
+        _, train_rows, _ = corpus
+        row = dict(train_rows[0], start="0", stop="0")
+        seg = load_segment(row, SR * 2)
+        assert np.abs(seg).max() > 0.01
+
+        # random-crop path (training): different rng states hit different
+        # crops of a >seg_len utterance, same rng state reproduces
+        long_row = max(train_rows, key=lambda r: float(r["duration"]))
+        long_row = dict(long_row, start="0", stop="0")
+        a = load_segment(long_row, SR, rng=np.random.default_rng(0))
+        b = load_segment(long_row, SR, rng=np.random.default_rng(1))
+        a2 = load_segment(long_row, SR, rng=np.random.default_rng(0))
+        assert not np.array_equal(a, b)
+        np.testing.assert_array_equal(a, a2)
+
+
 class TestFullUtteranceVerification:
     def test_eer_from_full_utterances(self, corpus, trained):
         import speaker_verification_cosine as sv
