@@ -17,7 +17,8 @@ import sys, time, json
 sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
 import numpy as np
 import jax, jax.numpy as jnp
-from mindaudio_tpu.ops.quant import int8_matmul, quantize_int8
+from mindaudio_tpu.ops.quant import (int8_dynamic_matmul, int8_matmul,
+                                     quantize_int8)
 
 ITERS = 200
 rng = np.random.default_rng(0)
@@ -56,6 +57,11 @@ for name, (m, k, n) in {
         ("bf16", jax.jit(lambda x, wb_, wback: loop(lambda xx: xx @ wb_)(x, wback))),
         ("int8", jax.jit(lambda x, v, sc, wback: loop(
             lambda xx: int8_matmul(xx, v, sc))(x, wback))),
+        # W8A8: activations quantized per-row in-loop; int8 MXU runs at 2x
+        # the bf16 rate on v5e, the only int8 path that can BEAT bf16 at
+        # compute-bound shapes
+        ("w8a8", jax.jit(lambda x, v, sc, wback: loop(
+            lambda xx: int8_dynamic_matmul(xx, v, sc))(x, wback))),
     ):
         args = (x0, wb, wback) if variant == "bf16" else (x0, vq_d, s_d, wback)
         float(fn(*args))  # compile + first fetch
@@ -67,7 +73,9 @@ for name, (m, k, n) in {
         us[variant] = best / ITERS * 1e6
     results[name] = {
         "int8_us": round(us["int8"], 1), "bf16_us": round(us["bf16"], 1),
+        "w8a8_us": round(us["w8a8"], 1),
         "ratio": round(us["bf16"] / us["int8"], 2),
+        "w8a8_ratio": round(us["bf16"] / us["w8a8"], 2),
         "max_rel_err": round(float(rel), 4),
         "note": "per-iter incl. shared back-projection+tanh",
     }
