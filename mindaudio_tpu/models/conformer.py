@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..utils.mask import add_optional_chunk_mask, make_non_pad_mask, subsequent_mask
 from .layers import (
+    FastDropout,
     Conv2dSubsampling4,
     ConvolutionModule,
     GlobalCMVN,
@@ -63,7 +64,7 @@ class ConformerEncoderLayer(nn.Module):
                 self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
                 dtype=self.dtype, name="feed_forward_macaron",
             )(y, deterministic=deterministic)
-            x = res + 0.5 * nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+            x = res + 0.5 * FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         # Self-attention with relative position (+ optional streaming KV cache)
         res = x
@@ -77,7 +78,7 @@ class ConformerEncoderLayer(nn.Module):
           kv_cache=att_cache)
         if streaming:
             y, new_att_cache = y
-        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         # Convolution module (+ optional streaming left-context cache)
         res = x
@@ -88,7 +89,7 @@ class ConformerEncoderLayer(nn.Module):
         )(y, mask_pad=mask_pad, deterministic=deterministic, cache=cnn_cache)
         if cnn_cache is not None:
             y, new_cnn_cache = y
-        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         # Final feed-forward
         res = x
@@ -98,7 +99,7 @@ class ConformerEncoderLayer(nn.Module):
             dtype=self.dtype, name="feed_forward",
         )(y, deterministic=deterministic)
         scale = 0.5 if self.use_macaron else 1.0
-        x = res + scale * nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = res + scale * FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         out = nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
         if streaming:
@@ -298,21 +299,21 @@ class DecoderLayer(nn.Module):
         y = MultiHeadedAttention(self.head_num, self.dropout_rate, dtype=self.dtype, name="self_attn")(
             y, y, y, mask=tgt_mask, deterministic=deterministic
         )
-        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = MultiHeadedAttention(self.head_num, self.dropout_rate, dtype=self.dtype, name="src_attn")(
             y, memory, memory, mask=memory_mask, deterministic=deterministic
         )
-        x = res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         y = PositionwiseFeedForward(self.ffn_dim, self.dropout_rate, dtype=self.dtype, name="feed_forward")(
             y, deterministic=deterministic
         )
-        return res + nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
 
 class TransformerDecoder(nn.Module):

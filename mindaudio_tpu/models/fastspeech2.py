@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.mask import make_non_pad_mask
-from .layers import sinusoid_table
+from .layers import FastDropout, sinusoid_table
 
 __all__ = ["FastSpeech2", "FastSpeech2WithLoss", "LengthRegulator"]
 
@@ -54,11 +54,11 @@ class FFTBlock(nn.Module):
         if mask is not None:
             scores = jnp.where(mask[:, None, None, :], scores, -1e9)
         attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        attn = FastDropout(self.dropout_rate)(attn, deterministic=deterministic)
         y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(x.shape)
         y = nn.Dense(self.d_model, name="fc")(y)
-        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout_rate)(y, deterministic=deterministic)
         x = nn.LayerNorm(name="attn_norm")(res + y)
         if mask is not None:
             x = jnp.where(mask[..., None], x, 0.0)
@@ -68,7 +68,7 @@ class FFTBlock(nn.Module):
         y = nn.Conv(self.conv_filter, (self.conv_kernels[0],), padding="SAME", name="conv1")(x)
         y = jax.nn.relu(y)
         y = nn.Conv(self.d_model, (self.conv_kernels[1],), padding="SAME", name="conv2")(y)
-        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout_rate)(y, deterministic=deterministic)
         x = nn.LayerNorm(name="ffn_norm")(res + y)
         if mask is not None:
             x = jnp.where(mask[..., None], x, 0.0)
@@ -88,11 +88,11 @@ class VariancePredictor(nn.Module):
         y = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", name="conv1")(x)
         y = jax.nn.relu(y)
         y = nn.LayerNorm(name="ln1")(y)
-        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout_rate)(y, deterministic=deterministic)
         y = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME", name="conv2")(y)
         y = jax.nn.relu(y)
         y = nn.LayerNorm(name="ln2")(y)
-        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = FastDropout(self.dropout_rate)(y, deterministic=deterministic)
         y = nn.Dense(1, name="linear")(y)[..., 0]
         if mask is not None:
             y = jnp.where(mask, y, 0.0)

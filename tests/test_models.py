@@ -432,3 +432,48 @@ class TestSeparationTailCoverage:
         assert out.shape[-1] == t
         # the network sees the tail: output there is not structurally zero
         assert float(jnp.abs(out[..., -19:]).max()) > 0
+
+
+class TestFastDropout:
+    """Integer-threshold dropout on raw PRNG bits (models/layers.py)."""
+
+    def test_keep_fraction_and_unbiased_scale(self):
+        import numpy as np
+
+        from mindaudio_tpu.models.layers import FastDropout
+
+        m = FastDropout(0.1)
+        x = jnp.ones((64, 1024), jnp.float32)
+        y = m.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+        keep_prob = 1.0 - round(0.1 * 256) / 256  # exact quantized keep prob
+        frac = float((y != 0).mean())
+        assert abs(frac - keep_prob) < 0.01
+        # kept values rescaled by exactly 1/keep_prob -> unbiased expectation
+        kept = np.asarray(y)[np.asarray(y) != 0]
+        np.testing.assert_allclose(kept, 1.0 / keep_prob, rtol=1e-6)
+        assert abs(float(y.mean()) - 1.0) < 0.02
+
+    def test_deterministic_and_zero_rate_identity(self):
+        from mindaudio_tpu.models.layers import FastDropout
+
+        x = jnp.arange(12.0).reshape(3, 4)
+        assert (FastDropout(0.1).apply({}, x, deterministic=True) == x).all()
+        # zero rate needs no rng even in training mode
+        assert (FastDropout(0.0).apply({}, x, deterministic=False) == x).all()
+
+    def test_grad_masks_match_forward(self):
+        from mindaudio_tpu.models.layers import FastDropout
+
+        m = FastDropout(0.25)
+        x = jnp.ones((8, 128), jnp.float32)
+
+        def f(x):
+            return m.apply({}, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(3)}).sum()
+
+        g = jax.grad(f)(x)
+        y = m.apply({}, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(3)})
+        # gradient is the same mask * scale as the forward
+        assert ((g != 0) == (y != 0)).all()
