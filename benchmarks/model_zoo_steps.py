@@ -36,7 +36,8 @@ def bench_deepspeech2():
     from mindaudio_tpu.loss.ctc_loss import ctc_loss
 
     B, T, F, V = 16, 1250, 161, 29  # the recipe's fixed train pad
-    model = DeepSpeechModel(vocab_size=V)
+    # bf16 = the TPU counterpart of the reference's fp16 loss-scale mode
+    model = DeepSpeechModel(vocab_size=V, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     spect = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
     lens = jnp.full((B,), T, jnp.int32)

@@ -128,6 +128,10 @@ def main():
                     help="write the corpus and exit (lets corpus synthesis "
                          "run on CPU while the chip is busy)")
     ap.add_argument("--root", default=None)
+    ap.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
+                    help="extra config overrides passed through to the "
+                         "recipe CLIs (e.g. --extra --augment.drop_freq "
+                         "false --optim.max_lr 0.002)")
     args = ap.parse_args()
 
     root = args.root or tempfile.mkdtemp(prefix="ecapa_conv_")
@@ -153,7 +157,7 @@ def main():
         "--train.save_every_steps", str(args.steps),
         "--train.log_every_steps", "50",
         "--eval.cohort_size", "64",
-    ]
+    ] + list(args.extra)
 
     import train_speaker_embeddings as tse
 
@@ -193,7 +197,11 @@ def main():
             lab, e, t = line.split()
             key = lambda r: r.replace("/", "--").rsplit(".", 1)[0]
             pairs.append((int(lab), key(e), key(t)))
-    pos, neg = sv.score_trials(embs, pairs)
+    # same emb-mean normalization the eval path applies (reference
+    # eval_impl:778-785): the committed distributions should be the scores
+    # the protocol actually thresholds
+    mean = np.mean(np.stack(list(embs.values())), axis=0)
+    pos, neg = sv.score_trials(sv.subtract_mean(embs, mean), pairs)
     out_dir = os.path.join(HERE, "convergence")
     os.makedirs(out_dir, exist_ok=True)
     np.savez_compressed(os.path.join(out_dir, "scores.npz"),

@@ -49,8 +49,12 @@ class Augmenter:
         out = batch
         if cfg.augment.speed_perturb:
             # batch-level speed choice keeps the static shape: resample then
-            # crop/pad back to the segment length
-            speed = rng.choice([90, 100, 110])
+            # crop/pad back to the segment length. Speeds are the reference's
+            # [95, 100, 105] (train_speaker_embeddings.py:655) — resampling
+            # rescales the spectral envelope, i.e. the speaker identity, so
+            # wider perturbs (±10%) measurably collide nearby speakers and
+            # hurt verification EER.
+            speed = rng.choice([95, 100, 105])
             if speed != 100:
                 n = out.shape[-1]
                 res = speed_perturb(out, SAMPLE_RATE, speeds=(int(speed),), rng=rng)

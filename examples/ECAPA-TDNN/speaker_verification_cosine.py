@@ -154,6 +154,22 @@ def training_cohort(embed_fn, train_csv, pool_size: int = 0):
     return np.stack([embs[r["ID"]] for r in ordered])
 
 
+def subtract_mean(embs, mean):
+    """Global-mean embedding subtraction (reference eval_impl:778-785 via
+    emb_mean:656-668): remove the common-mode component every embedding
+    shares, then re-normalize so dot products are cosines again. The
+    reference's running-mean formulation (three passes over the enroll dict,
+    then the train cohort under the same accumulator) converges to exactly
+    this: cosine scoring of mean-subtracted embeddings. Without it, the
+    shared component inflates every cosine (negative pairs land at ~0.7)
+    and compresses the score range EER works with."""
+    out = {}
+    for k, v in embs.items():
+        c = v - mean
+        out[k] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return out
+
+
 def score_trials(embs, pairs, cohort=None, cohort_size=0):
     """Cosine (optionally s-normed) scores for (label, enrol, test) trials.
 
@@ -217,6 +233,17 @@ def main():
         # it); cohort_size then selects the top scores per trial
         cohort = training_cohort(embed_fn, cfg.data.train_csv,
                                  int(cfg.eval.get("cohort_pool", 0)))
+
+    # emb-mean normalization (reference "Sub mean...", eval_impl:778-785):
+    # one global mean over trial sides and cohort, subtracted from both so
+    # trial-cohort scores live in the same centered space
+    stack = list(embs.values()) + ([] if cohort is None else list(cohort))
+    mean = np.mean(np.stack(stack), axis=0)
+    embs = subtract_mean(embs, mean)
+    if cohort is not None:
+        cohort = cohort - mean
+        cohort /= np.maximum(
+            np.linalg.norm(cohort, axis=-1, keepdims=True), 1e-12)
 
     pos, neg = score_trials(embs, pairs, cohort,
                             cohort_size=int(cfg.eval.cohort_size))

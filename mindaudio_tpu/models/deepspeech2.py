@@ -73,6 +73,8 @@ class BiLSTM(nn.Module):
     """
 
     hidden: int
+    dtype: jnp.dtype = jnp.float32
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x, lengths=None):
@@ -86,6 +88,13 @@ class BiLSTM(nn.Module):
                         (2, h, 4 * h))
         bias = self.param("bias", nn.initializers.zeros_init(), (2, 4 * h))
 
+        # compute dtype (bf16 = the TPU counterpart of the reference's fp16
+        # loss-scale mode, deepspeech2.yaml loss_scale:1024 — bf16's range
+        # needs no scale); cell state stays f32 below for accumulation
+        wx, wh = wx.astype(self.dtype), wh.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+
         xz = jnp.einsum("btd,ndk->nbtk", x, wx)  # ONE MXU pass for all T
         # flipping commutes with the (time-pointwise) projection, so the
         # backward direction flips the projected sequence, not the input
@@ -94,13 +103,15 @@ class BiLSTM(nn.Module):
         def step(carry, inp):  # inp: (2, B, 4H)
             c, hh = carry
             gates = inp + jnp.einsum("nbh,nhk->nbk", hh, wh) + bias[:, None, :]
-            gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+            gi, gf, gg, go = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
             c = nn.sigmoid(gf) * c + nn.sigmoid(gi) * jnp.tanh(gg)
-            hh = nn.sigmoid(go) * jnp.tanh(c)
+            hh = (nn.sigmoid(go) * jnp.tanh(c)).astype(self.dtype)
             return (c, hh), hh
 
-        zeros = jnp.zeros((2, b, h), xz.dtype)
-        _, ys = jax.lax.scan(step, (zeros, zeros), jnp.moveaxis(xz, 2, 0))
+        zeros_c = jnp.zeros((2, b, h), jnp.float32)
+        zeros_h = jnp.zeros((2, b, h), self.dtype)
+        _, ys = jax.lax.scan(step, (zeros_c, zeros_h),
+                             jnp.moveaxis(xz, 2, 0), unroll=self.unroll)
         ys = jnp.moveaxis(ys, 0, 2)  # (2, B, T, H)
         return ys[0] + flip_valid(ys[1], lengths)
 
@@ -115,6 +126,7 @@ class BatchRNN(nn.Module):
 
     hidden: int
     use_batch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
     # BN momentum 0.9 matches the MindSpore default the reference trains with
     # (flax's 0.99 needs ~10x more steps before eval-mode running stats work)
 
@@ -126,7 +138,7 @@ class BatchRNN(nn.Module):
         # reverse scan starts inside the trailing padding and pushes
         # padding-derived state into valid frames, making logits (and WER)
         # depend on how much the batch happens to be padded
-        return BiLSTM(self.hidden, name="bilstm")(x, lengths=lengths)
+        return BiLSTM(self.hidden, dtype=self.dtype, name="bilstm")(x, lengths=lengths)
 
 
 class MaskConv(nn.Module):
@@ -135,17 +147,21 @@ class MaskConv(nn.Module):
     (B, T, F, C) NHWC and mask along T.
     """
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
         # conv1: kernel (time 11, freq 41), stride (2, 2)
-        x = nn.Conv(32, (11, 41), strides=(2, 2), padding=((5, 5), (20, 20)), name="conv1")(x)
+        x = nn.Conv(32, (11, 41), strides=(2, 2), padding=((5, 5), (20, 20)),
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn1")(x)
         x = jnp.clip(x, 0.0, 20.0)
         lengths = (lengths + 2 * 5 - 11) // 2 + 1
         x = jnp.where(make_non_pad_mask(lengths, x.shape[1])[:, :, None, None], x, 0.0)
 
         # conv2: kernel (time 11, freq 21), stride (1, 2)
-        x = nn.Conv(32, (11, 21), strides=(1, 2), padding=((5, 5), (10, 10)), name="conv2")(x)
+        x = nn.Conv(32, (11, 21), strides=(1, 2), padding=((5, 5), (10, 10)),
+                    dtype=self.dtype, name="conv2")(x)
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="bn2")(x)
         x = jnp.clip(x, 0.0, 20.0)
         x = jnp.where(make_non_pad_mask(lengths, x.shape[1])[:, :, None, None], x, 0.0)
@@ -163,19 +179,24 @@ class DeepSpeechModel(nn.Module):
     vocab_size: int = 29
     hidden_size: int = 1024
     num_rnn_layers: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, spect, lengths, deterministic=True):
         x = spect[..., None]  # (B, T, F, 1)
-        x, out_lens = MaskConv(name="conv")(x, lengths, deterministic=deterministic)
+        x, out_lens = MaskConv(dtype=self.dtype, name="conv")(
+            x, lengths, deterministic=deterministic)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
 
         for i in range(self.num_rnn_layers):
-            x = BatchRNN(self.hidden_size, use_batch_norm=(i != 0), name=f"rnn_{i}")(
+            x = BatchRNN(self.hidden_size, use_batch_norm=(i != 0),
+                         dtype=self.dtype, name=f"rnn_{i}")(
                 x, lengths=out_lens, deterministic=deterministic
             )
 
         x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, name="head_bn")(x)
-        logits = nn.Dense(self.vocab_size, use_bias=False, name="fc")(x)
+        # logits in f32: the CTC log-softmax and loss want full precision
+        logits = nn.Dense(self.vocab_size, use_bias=False, name="fc")(
+            x.astype(jnp.float32))
         return logits, out_lens

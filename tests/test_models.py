@@ -477,3 +477,30 @@ class TestFastDropout:
                     rngs={"dropout": jax.random.PRNGKey(3)})
         # gradient is the same mask * scale as the forward
         assert ((g != 0) == (y != 0)).all()
+
+
+class TestDeepSpeech2Bf16:
+    def test_bf16_logits_track_f32(self):
+        """bf16 compute (the TPU counterpart of the reference's fp16
+        loss-scale mode, deepspeech2.yaml loss_scale:1024) must produce
+        logits close to the f32 path on the same params."""
+        import numpy as np
+
+        from mindaudio_tpu.models.deepspeech2 import DeepSpeechModel
+
+        rng = np.random.default_rng(0)
+        spect = jnp.asarray(rng.standard_normal((2, 64, 161)), jnp.float32)
+        lens = jnp.asarray([64, 48], jnp.int32)
+        m32 = DeepSpeechModel(vocab_size=9, hidden_size=64, num_rnn_layers=2)
+        m16 = DeepSpeechModel(vocab_size=9, hidden_size=64, num_rnn_layers=2,
+                              dtype=jnp.bfloat16)
+        v = m32.init(jax.random.PRNGKey(0), spect, lens)
+        l32, ol32 = m32.apply(v, spect, lens)
+        l16, ol16 = m16.apply(v, spect, lens)
+        assert l16.dtype == jnp.float32  # head forced back to f32 for CTC
+        assert (ol32 == ol16).all()
+        # per-frame argmax agreement is the quantity decoding cares about
+        agree = float((l32.argmax(-1) == l16.argmax(-1)).mean())
+        assert agree > 0.97, agree
+        scale = float(jnp.abs(l32).max())
+        assert float(jnp.abs(l32 - l16).max()) / scale < 0.12
