@@ -9,7 +9,12 @@ import jax, jax.numpy as jnp, optax
 
 
 def timeit(jstep, state, batch, iters=10):
-    compiled = jax.jit(jstep, donate_argnums=(0,)).lower(state, batch).compile()
+    # no donate_argnums: donating the multi-GB DS2 train state reproducibly
+    # crashes the remote-tunnel TPU worker after ~10-30 executions (buffer
+    # aliasing bug in the tunnel backend; without donation the same program
+    # runs indefinitely). Donation only affects peak memory, not step time,
+    # so the benchmark numbers are unchanged.
+    compiled = jax.jit(jstep).lower(state, batch).compile()
     for _ in range(3):
         state, loss = compiled(state, batch)
     float(loss)

@@ -75,6 +75,12 @@ class BiLSTM(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
     unroll: int = 8
+    # remat the scan body: XLA otherwise saves every step's gate activations
+    # for the backward (~0.7 GB/layer at the recipe's 1250-frame pad — the
+    # full DS2 train step wanted 10+ GB of temp and crashed the 16 GB chip);
+    # checkpointing keeps only the inter-step carries and recomputes gates
+    # during the backward scan
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, lengths=None):
@@ -110,7 +116,8 @@ class BiLSTM(nn.Module):
 
         zeros_c = jnp.zeros((2, b, h), jnp.float32)
         zeros_h = jnp.zeros((2, b, h), self.dtype)
-        _, ys = jax.lax.scan(step, (zeros_c, zeros_h),
+        body = jax.checkpoint(step) if self.remat else step
+        _, ys = jax.lax.scan(body, (zeros_c, zeros_h),
                              jnp.moveaxis(xz, 2, 0), unroll=self.unroll)
         ys = jnp.moveaxis(ys, 0, 2)  # (2, B, T, H)
         return ys[0] + flip_valid(ys[1], lengths)

@@ -80,8 +80,11 @@ class TestTwoProcessDryrun:
         env = dict(os.environ)
         # parent pytest env pins 8 CPU devices; the child manages its own
         env.pop("PALLAS_AXON_POOL_IPS", None)
+        # generous timeout: the dryrun spawns 3 JAX processes that each
+        # compile the conformer train step; under a full parallel pytest run
+        # CPU contention can triple the isolated ~300 s wall time
         proc = subprocess.run([sys.executable, "-c", code], env=env,
-                              capture_output=True, text=True, timeout=540)
+                              capture_output=True, text=True, timeout=1500)
         assert proc.returncode == 0, proc.stderr[-2000:]
         import json
 
