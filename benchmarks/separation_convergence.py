@@ -1,15 +1,17 @@
-"""Conv-TasNet functional convergence: train on a synthetic 2-speaker
-corpus until memorization, then evaluate SI-SNRi and bss_eval SDRi through
-the recipe eval path (reference examples/conv_tasnet/eval.py protocol).
+"""Separation functional convergence (Conv-TasNet or TasNet): train on a
+synthetic 2-speaker corpus, then evaluate SI-SNRi and bss_eval SDRi on the
+held-out split through the recipe eval path (reference
+examples/conv_tasnet/eval.py and examples/tasnet/eval.py protocols).
 
-This regenerates the PERF.md "functional convergence" separation row — in
+This regenerates the PERF.md "functional convergence" separation rows — in
 particular the SDRi column, which since round 3 uses the faithful BSS Eval
 v3 512-tap projection (metric/snr.py) rather than a scalar projection, so
 its scale is comparable to the reference's published LibriMix numbers.
 
 Usage (CPU mesh is fine — the corpus is tiny):
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/separation_convergence.py [--steps 160]
+        python benchmarks/separation_convergence.py [--steps 160] \
+            [--model conv_tasnet|tasnet]
 """
 
 from __future__ import annotations
@@ -57,6 +59,8 @@ def make_corpus(root, n_utts=24, seconds=2.0, sr=8000, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=160)
+    ap.add_argument("--model", choices=("conv_tasnet", "tasnet"),
+                    default="conv_tasnet")
     args = ap.parse_args()
 
     import jax
@@ -67,26 +71,53 @@ def main():
     from mindaudio_tpu.loss.separation_loss import pit_si_snr_loss
     from mindaudio_tpu.metric.snr import cal_SDRi, cal_SISNRi
     from mindaudio_tpu.models.conv_tasnet import ConvTasNet
+    from mindaudio_tpu.models.tasnet import TasNet
 
     root = tempfile.mkdtemp(prefix="sep_conv_")
     sr, seconds = 8000, 2.0
     make_corpus(root, seconds=seconds, sr=sr)
     seg = int(seconds * sr)
 
-    model = ConvTasNet(enc_dim=128, win_len=16, bottleneck=64, hidden=128,
-                       kernel_size=3, num_blocks=4, num_repeats=2, num_spk=2)
+    if args.model == "tasnet":
+        model = TasNet(enc_dim=128, frame_len=40, num_spk=2, hidden=128,
+                       num_layers=2)
+
+        def forward(params, mix):
+            # frame → mask → overlap-add (recipe separate_full,
+            # examples/tasnet/train.py)
+            frames = model.frame_waveform(mix)
+            est_frames = model.apply({"params": params}, frames)
+            est = model.reconstruct(est_frames)
+            t = mix.shape[-1]
+            if est.shape[-1] < t:
+                est = jnp.pad(est, ((0, 0), (0, 0), (0, t - est.shape[-1])))
+            return est[..., :t]
+
+        def init_params(mix):
+            return model.init(jax.random.PRNGKey(0),
+                              model.frame_waveform(mix))["params"]
+    else:
+        model = ConvTasNet(enc_dim=128, win_len=16, bottleneck=64, hidden=128,
+                           kernel_size=3, num_blocks=4, num_repeats=2,
+                           num_spk=2)
+
+        def forward(params, mix):
+            return model.apply({"params": params}, mix)
+
+        def init_params(mix):
+            return model.init(jax.random.PRNGKey(0), mix)["params"]
 
     it = separation_batch_iterator(os.path.join(root, "tr"), 8, seg,
                                    epochs=10_000, seed=1)
     _, first = next(it)
-    params = model.init(jax.random.PRNGKey(0), jnp.asarray(first["mix"]))["params"]
+    params = init_params(jnp.asarray(first["mix"]))
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, mix, src, lengths):
         def loss_fn(p):
-            est = model.apply({"params": p}, mix)
+            est = forward(p, mix)
             loss, _ = pit_si_snr_loss(est, src, lengths)
             return loss
 
@@ -106,7 +137,7 @@ def main():
 
     @jax.jit
     def separate(mix, src, lengths):
-        est = model.apply({"params": params}, mix)
+        est = forward(params, mix)
         _, perm = pit_si_snr_loss(est, src, lengths)
         return est, jnp.take_along_axis(src, perm[:, :, None], axis=1)
 
