@@ -186,7 +186,12 @@ def main():
                     for lo in range(0, max(raw - 3, 1), 4 * C)
                     if lo + 7 <= raw
                 ]
-                hyp_ids = inference.streaming_ctc_greedy(chunks)
+                # bound the left context: unbounded (-1) history grows the
+                # attention cache — and the jit-shape set — every chunk on
+                # long recordings; 128 subsampled frames ≈ 5 s context
+                cache = int(cfg.decode.get("streaming_cache_size", 128))
+                hyp_ids = inference.streaming_ctc_greedy(
+                    chunks, required_cache_size=cache)
             else:
                 raise ValueError(f"unknown decode mode {mode}")
 

@@ -106,12 +106,13 @@ def batch_iterator(
         # only its contiguous 1/world_size row block
         for group in batches:
             tail_group = group is tail_group_obj
-            max_frames = 1
-            for wav_path, _ in group:
-                n_samp, sr, _, _ = io.info(wav_path)
-                max_frames = max(max_frames, 1 + n_samp // HOP)
-            bucket = _bucket_for(max_frames)
             if world_size > 1:
+                # header-probe the WHOLE group (ranks must agree on the
+                # global batch shape), then decode only this rank's block
+                max_frames = 1
+                for wav_path, _ in group:
+                    n_samp, sr, _, _ = io.info(wav_path)
+                    max_frames = max(max_frames, 1 + n_samp // HOP)
                 local = len(group) // world_size
                 group = group[rank * local:(rank + 1) * local]
             wavs_raw, labels_raw = [], []
@@ -122,6 +123,12 @@ def batch_iterator(
                     x = x[:, 0]
                 wavs_raw.append(x)
                 labels_raw.append(encode_transcript(txt_path))
+            if world_size == 1:
+                # single process: the decoded audio already gives the
+                # lengths — no second header pass over every file
+                max_frames = max(
+                    [1] + [1 + len(x) // HOP for x in wavs_raw])
+            bucket = _bucket_for(max_frames)
             wav_len = bucket * HOP
             wavs = np.zeros((len(group), wav_len), np.float32)
             wav_lens = np.zeros((len(group),), np.int32)

@@ -78,9 +78,10 @@ def _load_beam():
     if _beam_lib is not None:
         return _beam_lib
     src = os.path.join(_DIR, "ctc_beam.cc")
-    stale = os.path.exists(_SO_BEAM) and (
-        os.path.getmtime(_SO_BEAM) < os.path.getmtime(src)
-    )
+    # a packaged install may ship only the built .so; a missing source can't
+    # make the binary stale (and must not raise here)
+    stale = (os.path.exists(_SO_BEAM) and os.path.exists(src)
+             and os.path.getmtime(_SO_BEAM) < os.path.getmtime(src))
     try:
         if not os.path.exists(_SO_BEAM) or stale:
             subprocess.run(

@@ -156,10 +156,12 @@ def convolve1d(
         # to complex128 — measured 2.3x slower on recipe-sized augment batches,
         # where this convolution IS the collate bottleneck); the kernel is
         # cast to the signal dtype so a float64 filter design doesn't drag the
-        # whole transform back up
+        # whole transform back up — float signals only: casting |coef| < 1
+        # filters to an integer waveform dtype would truncate them to zero
         from scipy import fft as _sfft
 
-        kernel = kernel.astype(waveforms.dtype, copy=False)
+        if np.issubdtype(waveforms.dtype, np.floating):
+            kernel = kernel.astype(waveforms.dtype, copy=False)
         convolved = _sfft.irfft(
             _sfft.rfft(waveforms) * _sfft.rfft(kernel), n=waveforms.shape[-1]
         )

@@ -56,6 +56,8 @@ class FastDropout(nn.Module):
         thresh = int(round(self.rate * 256.0))
         if deterministic or thresh <= 0:
             return x
+        if thresh >= 256:  # rate ≈ 1.0: nn.Dropout(1.0) semantics — drop all
+            return jnp.zeros_like(x)
         keep_prob = 1.0 - thresh / 256.0
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
         keep = bits >= jnp.uint8(thresh)  # P(keep) = (256 - thresh)/256

@@ -152,6 +152,22 @@ class TestAugmentReviewRegressions:
         assert out_fft.shape == out_direct.shape == (500,)
         np.testing.assert_allclose(out_fft, sig, atol=1e-6)  # identity kernel
 
+    def test_convolve1d_integer_waveform_keeps_float_kernel(self):
+        # int16-as-stored audio through the FFT path: the |coef| < 1 filter
+        # must NOT be cast to the integer waveform dtype (that truncates the
+        # whole kernel to zero)
+        import numpy as np
+
+        from mindaudio_tpu.data.augment import convolve1d
+
+        sig_f = np.random.default_rng(0).standard_normal(400).astype(np.float32)
+        sig_i = (sig_f * 8192).astype(np.int16)
+        k = np.full(9, 1.0 / 9.0, np.float32)  # moving average, coefs < 1
+        out_i = convolve1d(sig_i, k, use_fft=True)
+        out_f = convolve1d(sig_i.astype(np.float32), k, use_fft=True)
+        assert np.abs(out_i).max() > 0
+        np.testing.assert_allclose(out_i, out_f, rtol=1e-4, atol=1e-2)
+
     def test_add_noise_rejects_empty_background(self, tmp_path):
         import numpy as np
 

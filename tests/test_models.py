@@ -462,6 +462,19 @@ class TestFastDropout:
         # zero rate needs no rng even in training mode
         assert (FastDropout(0.0).apply({}, x, deterministic=False) == x).all()
 
+    def test_rate_one_drops_everything(self):
+        # rate >= 255.5/256 quantizes to thresh 256: must behave like
+        # nn.Dropout(1.0) (all-zero output), not overflow uint8 at trace time
+        from mindaudio_tpu.models.layers import FastDropout
+
+        x = jnp.ones((4, 8), jnp.float32)
+        for rate in (1.0, 0.999):
+            y = FastDropout(rate).apply(
+                {}, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+            assert (y == 0).all(), rate
+        assert (FastDropout(1.0).apply({}, x, deterministic=True) == x).all()
+
     def test_grad_masks_match_forward(self):
         from mindaudio_tpu.models.layers import FastDropout
 
