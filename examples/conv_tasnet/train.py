@@ -97,10 +97,15 @@ def main():
         dev = put_global_batch(data_sh, batch)
         return step_fn(state, dev)
 
+    from mindaudio_tpu.train.prefetch import prefetch
+
     state, metrics = run(state, first)
     step_count += 1
-    for epoch, batch in it:
-        state, metrics = run(state, batch)
+    # collate/augment + H2D for batch N+1 overlap step N on device
+    for epoch, batch in prefetch(
+            it, size=2,
+            transform=lambda eb: (eb[0], put_global_batch(data_sh, eb[1]))):
+        state, metrics = step_fn(state, batch)
         step_count += 1
         if step_count % int(cfg.train.log_every_steps) == 0:
             logger.info("epoch %d step %d -si_snr %.3f %.2f s/step",

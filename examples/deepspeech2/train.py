@@ -44,7 +44,8 @@ def device_features(wavs, wav_lens):
     """log1p magnitude spectrogram + masked per-utterance mean/std normalize
     (reference dataset.py:31-48, on device). Returns (B, T, F), frame lens."""
     mag = _power_frames(
-        wavs, N_FFT, N_FFT, HOP, "hann", True, "constant", power=1.0
+        wavs, N_FFT, N_FFT, HOP, "hann", True, "constant", power=1.0,
+        precision=None,
     )  # (B, n_frames, n_freq) time-major
     feats = jnp.log1p(mag)
     feat_lens = wav_lens // HOP + 1
@@ -131,10 +132,15 @@ def main():
         dev = put_global_batch(data_sh, batch)
         return step_fn(state, dev)
 
+    from mindaudio_tpu.train.prefetch import prefetch
+
     state, metrics = run(state, first)
     step_count += 1
-    for epoch, batch in it:
-        state, metrics = run(state, batch)
+    # collate/augment + H2D for batch N+1 overlap step N on device
+    for epoch, batch in prefetch(
+            it, size=2,
+            transform=lambda eb: (eb[0], put_global_batch(data_sh, eb[1]))):
+        state, metrics = step_fn(state, batch)
         step_count += 1
         if step_count % int(cfg.train.log_every_steps) == 0:
             logger.info("epoch %d step %d loss %.4f %.2f s/step",
