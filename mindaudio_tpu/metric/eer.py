@@ -10,7 +10,7 @@ import numpy as np
 from scipy.interpolate import interp1d
 from scipy.optimize import brentq
 
-__all__ = ["get_eer", "get_eer_from_scores"]
+__all__ = ["get_eer", "get_eer_from_scores", "compute_fa_miss"]
 
 
 def _roc(labels, scores):
@@ -21,6 +21,32 @@ def _roc(labels, scores):
     tpr = tps / max(tps[-1], 1)
     fpr = fps / max(fps[-1], 1)
     return fpr, tpr
+
+
+def compute_fa_miss(scores, labels, pos_label=1, return_thresholds=True):
+    """False-alarm / miss probability curves (reference eer.py:1).
+
+    Returns ``(P_fa, P_miss[, thresholds])`` sorted by increasing P_fa,
+    matching the reference's ``sklearn.roc_curve``-based convention.
+    """
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = (np.asarray(labels) == pos_label).astype(np.int64)
+    order = np.argsort(-scores)
+    s, l = scores[order], labels[order]
+    # one operating point per distinct threshold (accept if score >= thr)
+    distinct = np.r_[np.nonzero(np.diff(s))[0], len(s) - 1]
+    tps = np.cumsum(l)[distinct]
+    fps = (distinct + 1) - tps
+    n_pos = max(int(l.sum()), 1)
+    n_neg = max(int(len(l) - l.sum()), 1)
+    fpr = fps / n_neg
+    tpr = tps / n_pos
+    P_fa = fpr[::-1]
+    P_miss = (1.0 - tpr)[::-1]
+    thresholds = s[distinct][::-1]
+    if return_thresholds:
+        return P_fa, P_miss, thresholds
+    return P_fa, P_miss
 
 
 def get_eer(positive_scores, negative_scores):

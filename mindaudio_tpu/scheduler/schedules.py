@@ -91,3 +91,12 @@ def cyclic_triangular_lr(min_lr, max_lr, step_size):
         return min_lr + (max_lr - min_lr) * jnp.maximum(0.0, 1.0 - x)
 
     return schedule
+
+
+# Reference-name aliases (scheduler_factory.py classes were per-step
+# callables; these schedules are the same contract): migration convenience.
+ASRWarmupLR = asr_warmup_lr
+ASRLearningRate = warmup_poly_lr
+CosineLearningRate = cosine_lr
+
+__all__ += ["ASRWarmupLR", "ASRLearningRate", "CosineLearningRate"]

@@ -20,6 +20,10 @@ __all__ = [
     "remove_duplicates_and_blank",
     "log_add",
     "get_parameter_numel",
+    "get_activation",
+    "get_subsample",
+    "get_feat_extract_output_lengths",
+    "set_weight_decay",
 ]
 
 IGNORE_ID = -1
@@ -97,3 +101,56 @@ def get_parameter_numel(params):
     import jax
 
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def get_activation(act):
+    """Activation function by name (reference common.py:91): the JAX
+    counterparts of the reference's nn.Cell activations."""
+    import jax
+
+    funcs = {
+        "tanh": jax.numpy.tanh,
+        "relu": jax.nn.relu,
+        "swish": jax.nn.silu,
+        "gelu": jax.nn.gelu,
+    }
+    return funcs[act]
+
+
+def get_subsample(config):
+    """Subsampling factor from an encoder config dict (reference
+    common.py:106): ``conv2d``→4, ``conv2d6``→6, ``conv2d8``→8."""
+    input_layer = config["encoder_conf"]["input_layer"]
+    assert input_layer in ["conv2d", "conv2d6", "conv2d8"]
+    return {"conv2d": 4, "conv2d6": 6, "conv2d8": 8}[input_layer]
+
+
+def get_feat_extract_output_lengths(input_length, kernel_size, stride):
+    """Sequence length after a stack of valid convs (reference
+    common.py:165). Works on ints or arrays."""
+    len_ds = input_length
+    for k, s in zip(kernel_size, stride):
+        len_ds = (len_ds - k) // s + 1
+    return len_ds
+
+
+def set_weight_decay(params, weight_decay=1e-2):
+    """Weight-decay mask for a Flax param pytree (reference common.py:148
+    groups MindSpore Parameters; the optax idiom is a boolean mask):
+    ``True`` (decay) everywhere except biases and LayerNorm scales.
+
+    Use with ``optax.add_decayed_weights(weight_decay, mask=...)`` or
+    ``optax.adamw(..., mask=...)``.
+    """
+    import jax
+
+    def _decay(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))).lower()
+                for p in path]
+        if any("bias" in k for k in keys):
+            return False
+        if any("norm" in k or "layernorm" in k for k in keys):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(_decay, params)

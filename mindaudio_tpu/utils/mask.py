@@ -17,7 +17,41 @@ __all__ = [
     "subsequent_mask",
     "subsequent_chunk_mask",
     "add_optional_chunk_mask",
+    "mask_finished_scores",
+    "mask_finished_preds",
 ]
+
+NEG_INF = -1.0e9
+
+
+def mask_finished_scores(score, end_flag):
+    """Beam-search bookkeeping (reference mask.py:98): for finished rows
+    keep exactly one alive branch — branch 0 gets score 0, the rest -inf.
+
+    Args:
+        score: ``(B*beam, beam)`` float candidate scores.
+        end_flag: ``(B*beam, 1)`` bool, True where the hypothesis ended.
+    """
+    score = jnp.asarray(score)
+    finished = jnp.asarray(end_flag, bool)
+    beam = score.shape[-1]
+    first = jnp.arange(beam) == 0
+    keep_zero = finished & first[None, :]
+    kill = finished & ~first[None, :]
+    return jnp.where(kill, NEG_INF, jnp.where(keep_zero, 0.0, score))
+
+
+def mask_finished_preds(pred, end_flag, eos):
+    """Beam-search bookkeeping (reference mask.py:126): finished rows
+    predict ``eos`` on every branch.
+
+    Args:
+        pred: ``(B*beam, beam)`` int predictions.
+        end_flag: ``(B*beam, 1)`` bool.
+    """
+    pred = jnp.asarray(pred)
+    finished = jnp.asarray(end_flag, bool)
+    return jnp.where(finished, jnp.asarray(eos, pred.dtype), pred)
 
 
 def make_pad_mask(lengths, max_len):

@@ -404,3 +404,69 @@ class ASRInference:
         """Batch-1 attention rescoring (reference recognize.py:339-406)."""
         assert feats.shape[0] == 1, "use attention_rescoring_batch for B>1"
         return self.attention_rescoring_batch(feats, feat_lens)[0]
+
+
+# ---- reference-name module-level drivers ----
+#
+# The reference exposes decode as free functions taking the model per call
+# (recognize.py:78/254/273/339). These wrappers keep that calling
+# convention; each (model, variables, options) tuple gets one cached
+# ASRInference so the jitted programs compile once. The cache is a small
+# LRU — decode loops over one model hit the same entry every call.
+
+_INFERENCE_LRU_MAX = 8
+_inference_cache: "dict" = {}
+
+
+def _cached_inference(model, variables, **opts):
+    key = (id(model), id(variables), tuple(sorted(opts.items())))
+    inf = _inference_cache.pop(key, None)
+    if inf is None:
+        inf = ASRInference(model, variables, **opts)
+    _inference_cache[key] = inf  # re-insert = move to MRU end
+    while len(_inference_cache) > _INFERENCE_LRU_MAX:
+        _inference_cache.pop(next(iter(_inference_cache)))
+    return inf
+
+
+def ctc_greedy_search(model, variables, feats, feat_lens, **opts):
+    """Reference recognize.py:254 convention; see
+    :meth:`ASRInference.ctc_greedy_search`."""
+    return _cached_inference(model, variables, **opts).ctc_greedy_search(
+        feats, feat_lens)
+
+
+def ctc_prefix_beam_search(model, variables, feats, feat_lens,
+                           beam_size=10, **opts):
+    """Reference recognize.py:273 convention; batch-1 or batched ``feats``
+    both work (see :meth:`ASRInference.ctc_prefix_beam_search_batch`)."""
+    inf = _cached_inference(model, variables, beam_size=beam_size, **opts)
+    if feats.shape[0] == 1:
+        return inf.ctc_prefix_beam_search(feats, feat_lens)
+    return inf.ctc_prefix_beam_search_batch(feats, feat_lens)
+
+
+def recognize(model, variables, feats, feat_lens, beam_size=10, **opts):
+    """Attention beam search (reference recognize.py:78 convention)."""
+    inf = _cached_inference(model, variables, beam_size=beam_size, **opts)
+    if feats.shape[0] == 1:
+        return inf.recognize(feats, feat_lens)
+    return inf.recognize_batch(feats, feat_lens)
+
+
+def attention_rescoring(model, variables, feats, feat_lens,
+                        beam_size=10, ctc_weight=0.3, **opts):
+    """CTC prefix beam + decoder rescoring (reference recognize.py:339)."""
+    inf = _cached_inference(model, variables, beam_size=beam_size,
+                            ctc_weight=ctc_weight, **opts)
+    if feats.shape[0] == 1:
+        return inf.attention_rescoring(feats, feat_lens)
+    return inf.attention_rescoring_batch(feats, feat_lens)
+
+
+__all__ += [
+    "ctc_greedy_search",
+    "ctc_prefix_beam_search",
+    "recognize",
+    "attention_rescoring",
+]

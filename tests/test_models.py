@@ -517,3 +517,82 @@ class TestDeepSpeech2Bf16:
         assert agree > 0.97, agree
         scale = float(jnp.abs(l32).max())
         assert float(jnp.abs(l32 - l16).max()) / scale < 0.12
+
+
+class TestReferenceNameCompat:
+    """Reference-convention names added for migration parity: scheduler
+    class aliases, mask beam-bookkeeping helpers, compute_fa_miss, common
+    utility ports, module-level decode drivers."""
+
+    def test_scheduler_aliases(self):
+        import mindaudio_tpu.scheduler as sch
+
+        assert sch.ASRWarmupLR is sch.asr_warmup_lr
+        assert sch.ASRLearningRate is sch.warmup_poly_lr
+        assert sch.CosineLearningRate is sch.cosine_lr
+
+    def test_mask_finished_scores_and_preds(self):
+        import numpy as np
+
+        from mindaudio_tpu.utils.mask import (mask_finished_preds,
+                                              mask_finished_scores)
+
+        score = jnp.ones((2, 3))
+        end = jnp.asarray([[True], [False]])
+        out = np.asarray(mask_finished_scores(score, end))
+        assert out[0, 0] == 0.0 and (out[0, 1:] < -1e8).all()
+        assert (out[1] == 1.0).all()
+        pred = jnp.full((2, 3), 7, jnp.int32)
+        outp = np.asarray(mask_finished_preds(pred, end, eos=9))
+        assert (outp[0] == 9).all() and (outp[1] == 7).all()
+
+    def test_compute_fa_miss_matches_eer(self):
+        import numpy as np
+
+        from mindaudio_tpu.metric.eer import (compute_fa_miss, get_eer,
+                                              get_eer_from_scores)
+
+        rng = np.random.default_rng(0)
+        pos = rng.normal(1.0, 1.0, 300)
+        neg = rng.normal(-1.0, 1.0, 300)
+        scores = np.concatenate([pos, neg])
+        labels = np.concatenate([np.ones(300), np.zeros(300)])
+        p_fa, p_miss, thr = compute_fa_miss(scores, labels)
+        # reference convention: thresholds ascend, so P_fa falls, P_miss rises
+        assert (np.diff(p_fa) <= 0).all()
+        assert (np.diff(p_miss) >= 0).all()
+        assert (np.diff(thr) >= 0).all()
+        assert len(thr) == len(p_fa)
+        # EER from the curves ~ crossing point ~ get_eer's value
+        i = int(np.argmin(np.abs(p_fa - p_miss)))
+        eer, _ = get_eer(pos, neg)
+        assert abs(0.5 * (p_fa[i] + p_miss[i]) - eer) < 0.02
+
+    def test_common_utility_ports(self):
+        import numpy as np
+
+        from mindaudio_tpu.utils.common import (
+            get_activation,
+            get_feat_extract_output_lengths,
+            get_subsample,
+            set_weight_decay,
+        )
+
+        assert float(get_activation("relu")(jnp.asarray(-1.0))) == 0.0
+        assert float(get_activation("tanh")(jnp.asarray(0.0))) == 0.0
+        assert get_subsample({"encoder_conf": {"input_layer": "conv2d"}}) == 4
+        assert get_feat_extract_output_lengths(100, [41, 21], [2, 2]) == \
+            ((100 - 41) // 2 + 1 - 21) // 2 + 1
+        params = {"dense": {"kernel": np.zeros((2, 2)), "bias": np.zeros(2)},
+                  "layernorm_0": {"scale": np.ones(2)}}
+        mask = set_weight_decay(params)
+        assert mask["dense"]["kernel"] is True
+        assert mask["dense"]["bias"] is False
+        assert mask["layernorm_0"]["scale"] is False
+
+    def test_module_level_decode_drivers(self):
+        import mindaudio_tpu.utils.recognize as rec
+
+        for name in ("recognize", "ctc_greedy_search",
+                     "ctc_prefix_beam_search", "attention_rescoring"):
+            assert callable(getattr(rec, name)) and name in rec.__all__
