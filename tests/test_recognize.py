@@ -212,3 +212,31 @@ class TestBatchedDecode:
             seq_hyp, seq_score = inf.recognize(feats[b:b + 1], lens[b:b + 1])
             assert hyp == seq_hyp
             np.testing.assert_allclose(score, seq_score, rtol=1e-4, atol=1e-4)
+
+
+class TestModuleLevelDrivers:
+    """Reference-convention free functions wrap ASRInference with an LRU
+    cache: same results as the method API, one compile per (model, opts)."""
+
+    def test_match_method_api_and_cache(self, tiny_asr):
+        import mindaudio_tpu.utils.recognize as rec
+
+        inf, feats, lens = tiny_asr
+        model, variables = inf.model, inf.variables
+        hyps_m, _ = inf.ctc_greedy_search(feats, lens)
+        hyps_f, _ = rec.ctc_greedy_search(model, variables, feats, lens)
+        assert hyps_f == hyps_m
+        # repeated call reuses the cached ASRInference (no recompile)
+        before = len(rec._inference_cache)
+        rec.ctc_greedy_search(model, variables, feats, lens)
+        assert len(rec._inference_cache) == before
+
+        hyp_m, score_m = inf.recognize(feats, lens)
+        hyp_f, score_f = rec.recognize(model, variables, feats, lens,
+                                       beam_size=4, max_tgt_len=8)
+        assert hyp_f == hyp_m and score_f == pytest.approx(score_m)
+
+        hyp_rm, _ = inf.attention_rescoring(feats, lens)
+        hyp_rf, _ = rec.attention_rescoring(model, variables, feats, lens,
+                                            beam_size=4, max_tgt_len=8)
+        assert hyp_rf == hyp_rm
