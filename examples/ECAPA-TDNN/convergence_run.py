@@ -38,11 +38,25 @@ from mindaudio_tpu.data import io  # noqa: E402
 SR = 16000
 
 
-def _speaker_filter(rng):
-    """A speaker = 4 formant resonators + spectral tilt (sos coefficients)."""
+def _speaker_filter(rng, existing=None, min_dist=0.35):
+    """A speaker = 4 formant resonators + spectral tilt (sos coefficients).
+
+    ``existing`` holds prior speakers' log-formant vectors; candidates are
+    rejection-sampled until the min L1 log-distance to every prior speaker
+    is >= ``min_dist`` — the corpus analogue of real speakers being distinct
+    people (two VoxCeleb speakers never share a vocal tract). Without this,
+    uniform draws collide for some pairs and those pairs dominate the EER.
+    """
     from scipy.signal import butter
 
-    formants = np.sort(rng.uniform(300, 3600, size=4))
+    for _ in range(1000):
+        formants = np.sort(rng.uniform(300, 3600, size=4))
+        lf = np.log(formants)
+        if existing is None or not existing or min(
+                float(np.abs(lf - e).sum()) for e in existing) >= min_dist:
+            break
+    if existing is not None:
+        existing.append(lf)
     bws = rng.uniform(60, 180, size=4)
     sos = []
     for f, bw in zip(formants, bws):
@@ -78,14 +92,18 @@ def make_corpus(root, n_speakers, n_train=14, n_enrol=2, n_test=2, seed=0):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "wav"), exist_ok=True)
     rows = {"train": [], "enrol": [], "test": []}
+    seen_envelopes = []
     for s in range(n_speakers):
         spk = f"spk{s:03d}"
-        sos = _speaker_filter(rng)
+        sos = _speaker_filter(rng, existing=seen_envelopes)
         counts = [("train", n_train), ("enrol", n_enrol), ("test", n_test)]
         u = 0
         for split, cnt in counts:
             for _ in range(cnt):
-                seconds = float(rng.uniform(3.0, 4.5))
+                # VoxCeleb-like utterance lengths; training crops seg_dur=3 s
+                # regardless, eval embeds the full utterance — longer eval
+                # utterances sharpen the per-utterance envelope estimate
+                seconds = float(rng.uniform(4.0, 8.0))
                 x = _utterance(rng, sos, seconds)
                 utt_id = f"{spk}--u{u:03d}"
                 path = os.path.join(root, "wav", f"{spk}_u{u:03d}.wav")
