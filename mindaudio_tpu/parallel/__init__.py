@@ -16,6 +16,11 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .pipeline import (  # noqa: F401
+    pipeline_apply,
+    pipeline_spmd,
+    stack_layer_params,
+)
 from .ring_attention import (  # noqa: F401
     ring_attention,
     sequence_parallel_attention,

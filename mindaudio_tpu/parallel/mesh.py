@@ -77,26 +77,31 @@ def make_mesh(
     data: Optional[int] = None,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence] = None,
 ):
-    """Build a ``Mesh`` with axes ``(data, model, seq)``.
+    """Build a ``Mesh`` with axes ``(data, model, seq, pipe)``.
 
     ``data`` defaults to all remaining devices. Axis sizes must multiply to the
     device count; ICI-friendly orderings are delegated to
-    ``jax.experimental.mesh_utils`` when available.
+    ``jax.experimental.mesh_utils`` when available. ``pipe`` is the pipeline
+    stage axis (parallel/pipeline.py); it sits innermost so neighbouring
+    stages are ICI neighbours and the per-tick ``ppermute`` is one hop.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // (model * seq)
-    assert data * model * seq == n, f"mesh {data}x{model}x{seq} != {n} devices"
+        data = n // (model * seq * pipe)
+    assert data * model * seq * pipe == n, (
+        f"mesh {data}x{model}x{seq}x{pipe} != {n} devices")
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh((data, model, seq), devices=devices)
+        dev_array = mesh_utils.create_device_mesh(
+            (data, model, seq, pipe), devices=devices)
     except Exception:
-        dev_array = np.array(devices).reshape(data, model, seq)
-    return Mesh(dev_array, axis_names=("data", "model", "seq"))
+        dev_array = np.array(devices).reshape(data, model, seq, pipe)
+    return Mesh(dev_array, axis_names=("data", "model", "seq", "pipe"))
 
 
 def batch_sharding(mesh, spec=("data",)):
