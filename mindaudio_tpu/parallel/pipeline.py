@@ -73,8 +73,18 @@ def pipeline_spmd(layer_fn, stage_params, microbatches, extras=(),
     # no wraparound: the last stage's output is banked, not forwarded
     perm = [(i, i + 1) for i in range(size - 1)]
 
-    state = jnp.zeros_like(microbatches[0])
-    outbuf = jnp.zeros_like(microbatches)
+    # the carry becomes device-varying after the first ppermute, so its
+    # initial value must already carry the `pipe` vma type (jax >= 0.8
+    # shard_map enforces scan carry types; pcast replaces older pvary)
+    def _varying(x):
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            return pcast(x, (axis_name,), to="varying")
+        pvary = getattr(jax.lax, "pvary", None)
+        return pvary(x, (axis_name,)) if pvary is not None else x
+
+    state = _varying(jnp.zeros_like(microbatches[0]))
+    outbuf = _varying(jnp.zeros_like(microbatches))
 
     def tick(carry, t):
         state, outbuf = carry
