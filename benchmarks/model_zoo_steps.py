@@ -131,6 +131,44 @@ def bench_fastspeech2():
     return {"step_ms": round(ms, 1), "mel_frames_per_sec": round(B * M / (ms / 1e3), 0)}
 
 
+def bench_moe_conformer():
+    """MoE-Conformer encoder (parallel/moe.py wired via moe_experts): 4
+    experts, top-2 routing — ~2x the dense FFN's active FLOPs with 4x the
+    FFN capacity. Single-chip (EP sharding needs a mesh; the routing math
+    is identical)."""
+    from mindaudio_tpu.models.conformer import ConformerEncoder
+
+    B, T, F = 16, 1003, 80  # ~10 s of fbank frames -> t_sub ~250
+    enc = ConformerEncoder(input_dim=F, d_model=256, head_num=4,
+                           ffn_dim=2048, num_layers=12, dropout_rate=0.1,
+                           moe_experts=4, moe_top_k=2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), xs, lens)
+    state = make_state(variables["params"])
+    batch = {"xs": xs, "lens": lens}
+
+    def step(state, batch):
+        def loss_fn(p):
+            out, mask = enc.apply(
+                {"params": p}, batch["xs"], batch["lens"],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0),
+                                                    state.step)})
+            return (jnp.square(out.astype(jnp.float32))
+                    * mask[:, 0, :, None]).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    ms, loss = timeit(step, state, batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    t_sub = (T - 3) // 4
+    return {"step_ms": round(ms, 1),
+            "params_m": round(n_params / 1e6, 1),
+            "tokens_per_sec": round(B * t_sub / (ms / 1e3), 0)}
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["deepspeech2", "conv_tasnet", "fastspeech2"]
     out = {}

@@ -50,6 +50,14 @@ class ConformerEncoderLayer(nn.Module):
     sp_axis: str = "seq"
     sp_variant: str = "ring"
     sp_batch_axis: Optional[str] = "data"
+    # Mixture-of-Experts: replace the final FFN with an expert-parallel
+    # MoE layer (parallel/moe.py) when moe_experts > 0. The macaron FFN
+    # stays dense (the MoE-Conformer convention).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_mesh: Optional[object] = None
+    moe_expert_axis: str = "model"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,10 +102,22 @@ class ConformerEncoderLayer(nn.Module):
         # Final feed-forward
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(x)
-        y = PositionwiseFeedForward(
-            self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
-            dtype=self.dtype, name="feed_forward",
-        )(y, deterministic=deterministic)
+        if self.moe_experts > 0:
+            from mindaudio_tpu.parallel.moe import MoEFeedForward
+
+            y = MoEFeedForward(
+                self.moe_experts, self.ffn_dim, self.dropout_rate,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                activation=lambda v: v * jax.nn.sigmoid(v),
+                dtype=self.dtype, mesh=self.moe_mesh,
+                expert_axis=self.moe_expert_axis, name="feed_forward",
+            )(y, deterministic=deterministic)
+        else:
+            y = PositionwiseFeedForward(
+                self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
+                dtype=self.dtype, name="feed_forward",
+            )(y, deterministic=deterministic)
         scale = 0.5 if self.use_macaron else 1.0
         x = res + scale * FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
@@ -141,6 +161,13 @@ class ConformerEncoder(nn.Module):
     sp_axis: str = "seq"
     sp_variant: str = "ring"
     sp_batch_axis: Optional[str] = "data"
+    # Mixture-of-Experts blocks (expert-parallel over moe_expert_axis;
+    # parallel/moe.py) — moe_experts > 0 swaps every block's final FFN.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_mesh: Optional[object] = None
+    moe_expert_axis: str = "model"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -161,6 +188,9 @@ class ConformerEncoder(nn.Module):
                 self.kernel_size, self.norm_type, self.causal_conv,
                 sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                 sp_variant=self.sp_variant, sp_batch_axis=self.sp_batch_axis,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_mesh=self.moe_mesh, moe_expert_axis=self.moe_expert_axis,
                 dtype=self.dtype, name=f"layer_{i}",
             )
             for i in range(self.num_layers)

@@ -16,6 +16,7 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .moe import MoEFeedForward, moe_capacity  # noqa: F401
 from .pipeline import (  # noqa: F401
     pipeline_apply,
     pipeline_spmd,
