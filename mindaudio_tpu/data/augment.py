@@ -428,7 +428,13 @@ def drop_chunk(
     noise_factor=0.0,
     rng=None,
 ):
-    """Zero (or noise-fill) random spans of each signal (reference augment.py:641)."""
+    """Zero (or noise-fill) random spans of each signal (reference augment.py:641).
+
+    Fully vectorized: every span's (count, length, start) is sampled up-front
+    as ``(batch, max_count)`` arrays and the drop regions become ONE boolean
+    mask built by broadcasting time indices against the span bounds — no
+    per-utterance or per-span Python loops.
+    """
     if drop_length_low > drop_length_high:
         raise ValueError("Low limit must not be more than high limit")
     if drop_count_low > drop_count_high:
@@ -436,49 +442,54 @@ def drop_chunk(
     if drop_end is not None and drop_end >= 0:
         if drop_start > drop_end:
             raise ValueError("Low limit must not be more than high limit")
-        drop_range = drop_end - drop_start
-        drop_length_low = min(drop_length_low, drop_range)
-        drop_length_high = min(drop_length_high, drop_range)
+        span = drop_end - drop_start
+        drop_length_low = min(drop_length_low, span)
+        drop_length_high = min(drop_length_high, span)
 
     rng = np.random.default_rng() if rng is None else rng
     waveforms = np.asarray(waveforms)
-    lengths = np.asarray(lengths) * waveforms.shape[1]
-    batch_size = waveforms.shape[0]
     dropped = waveforms.copy()
-
     if rng.random() > drop_prob:
         return dropped
 
-    clean_amplitude = compute_amplitude(waveforms, np.expand_dims(lengths, axis=1))
-    drop_times = rng.integers(drop_count_low, drop_count_high + 1, size=(batch_size,))
+    batch, t_max = waveforms.shape[:2]
+    lengths = np.asarray(lengths) * t_max
+    n_drops = rng.integers(drop_count_low, drop_count_high + 1, size=batch)
+    max_drops = int(n_drops.max(initial=0))
+    if max_drops == 0:
+        return dropped
 
-    for i in range(batch_size):
-        if drop_times[i] == 0:
-            continue
-        length = rng.integers(drop_length_low, drop_length_high + 1, size=(int(drop_times[i]),))
+    span_len = rng.integers(drop_length_low, drop_length_high + 1,
+                            size=(batch, max_drops))
+    # per-element start window [lo, hi]: negative start/end count from each
+    # element's unpadded length; hi leaves room for the element's longest span
+    lo = drop_start + lengths if drop_start < 0 else np.full(batch, drop_start, float)
+    hi = (lengths if drop_end is None
+          else drop_end + lengths if drop_end < 0
+          else np.full(batch, drop_end, float))
+    hi = np.maximum(0.0, hi - span_len.max(axis=1))
+    # floor of uniform [lo, hi+1) == integer uniform on [lo, hi] inclusive
+    start = np.floor(
+        lo[:, None] + rng.random((batch, max_drops)) * (hi + 1 - lo)[:, None]
+    ).astype(np.int64)
+    end = start + span_len
 
-        start_min = drop_start
-        if start_min < 0:
-            start_min += lengths[i]
-        start_max = drop_end
-        if start_max is None:
-            start_max = lengths[i]
-        if start_max < 0:
-            start_max += lengths[i]
-        start_max = max(0, start_max - length.max())
+    t_idx = np.arange(t_max)
+    mask = np.zeros((batch, t_max), bool)
+    for j in range(max_drops):  # bounded by drop_count_high, not batch/time
+        mask |= ((j < n_drops)[:, None]
+                 & (t_idx >= start[:, j : j + 1]) & (t_idx < end[:, j : j + 1]))
 
-        start = rng.integers(start_min, start_max + 1, size=(int(drop_times[i]),))
-        end = start + length
-
-        if not noise_factor:
-            for j in range(int(drop_times[i])):
-                dropped[i, start[j] : end[j]] = 0.0
-        else:
-            noise_max = 2 * clean_amplitude[i] * noise_factor
-            for j in range(int(drop_times[i])):
-                noise_vec = rng.random(int(length[j]))
-                dropped[i, start[j] : end[j]] = 2 * noise_max * noise_vec - noise_max
-    return dropped
+    if noise_factor:
+        clean_amplitude = compute_amplitude(waveforms, lengths[:, None])
+        peak = 2 * clean_amplitude * noise_factor  # (B, 1) or (B, 1, C)
+        noise = (2.0 * rng.random(waveforms.shape) - 1.0) * peak
+        fill = noise
+    else:
+        fill = np.zeros((), waveforms.dtype)
+    if waveforms.ndim == 3:
+        mask = mask[:, :, None]
+    return np.where(mask, fill, dropped)
 
 
 def time_stretch(waveforms, rate=None):

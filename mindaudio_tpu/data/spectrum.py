@@ -46,25 +46,25 @@ def amplitude_to_dB(wavform, stype="power", ref=1.0, amin=1e-10, top_db=80.0):
         amin: lower clamp before the log.
         top_db: dynamic-range floor in dB; ``None`` disables.
     """
-    if np.issubdtype(np.asarray(wavform).dtype, np.complexfloating):
+    magnitude = np.asarray(wavform)
+    if np.issubdtype(magnitude.dtype, np.complexfloating):
         raise UserWarning(
             "amplitude_to_dB was called on complex input; "
             "call amplitude_to_dB(np.abs(D)**2) instead."
         )
-    magnitude = np.asarray(wavform)
 
+    mult = 10.0 if stype == "power" else 20.0
     ref_value = ref(magnitude) if callable(ref) else np.abs(ref)
-    multiplier = 10.0 if stype == "power" else 20.0
-    db = multiplier * np.log10(np.clip(magnitude, a_min=amin, a_max=None))
-    db -= multiplier * np.log10(max(amin, ref_value))
+    db = mult * np.log10(np.maximum(magnitude, amin))
+    db -= mult * np.log10(max(amin, ref_value))
 
     if top_db is not None:
-        shape = db.shape
-        channels = shape[-3] if len(shape) > 2 else 1
-        flat = db.reshape((-1, channels, shape[-2], shape[-1]))
-        floor = np.amax(flat, axis=(-3, -2, -1)) - top_db
-        flat = np.maximum(flat, floor.reshape((-1, 1, 1, 1)))
-        db = flat.reshape(shape)
+        # one floor per batch element: collapse everything above the last
+        # three dims (channels stay grouped with their element)
+        batched = (db.reshape((-1,) + db.shape[-3:]) if db.ndim > 2
+                   else db[None])
+        floor = batched.max(axis=tuple(range(1, batched.ndim)), keepdims=True)
+        db = np.maximum(batched, floor - top_db).reshape(db.shape)
     return db
 
 
@@ -157,10 +157,47 @@ def stft(
 
 def overlap_add(output_buffer, frames, hop_length):
     """In-place overlap-add of ``frames`` ``(..., n_fft, n_frames)`` into a signal buffer."""
-    n_fft = frames.shape[-2]
-    for t in range(frames.shape[-1]):
-        s = t * hop_length
-        output_buffer[..., s : s + n_fft] += frames[..., t]
+    _overlap_add_time_major(output_buffer, np.swapaxes(frames, -1, -2), hop_length)
+
+
+def _overlap_add_time_major(output_buffer, frames, hop_length):
+    """Overlap-add of time-major ``(..., n_frames, n_fft)`` frames.
+
+    Vectorized hop-strided scatter (the host twin of the device GCD-subframe
+    trick in ``processing.overlap_and_add``): each frame is split into
+    ``ceil(n_fft / hop)`` hop-sized segments; for a fixed segment index the
+    target slots across frames are disjoint consecutive hop-slots, so the
+    whole accumulation is ``n_fft / hop`` strided adds instead of a Python
+    loop over ``n_frames`` (a 10-minute file at hop 160 is ~56k iterations
+    the loop form paid per call). Time-major keeps every access contiguous.
+    """
+    from numpy.lib.stride_tricks import as_strided
+
+    n_frames, n_fft = frames.shape[-2:]
+    n_seg = -(-n_fft // hop_length)
+    width = n_seg * hop_length  # frame stride rounded up to a hop multiple
+
+    # Frames t and t + n_seg never overlap (t*hop + n_fft <= (t+n_seg)*hop),
+    # so the frames with t ≡ r (mod n_seg) write DISJOINT n_fft-sized spans
+    # spaced exactly `width` apart — each residue class is one strided
+    # block add into the accumulator, n_seg passes total.
+    n_slots = n_frames + n_seg - 1
+    acc = np.zeros(frames.shape[:-2] + (n_slots * hop_length,),
+                   dtype=output_buffer.dtype)
+    for r in range(n_seg):
+        rows = frames[..., r::n_seg, :]  # (..., m_r, n_fft)
+        m_r = rows.shape[-2]
+        if m_r == 0:
+            continue
+        base = acc[..., r * hop_length :]
+        view = as_strided(
+            base,
+            shape=acc.shape[:-1] + (m_r, n_fft),
+            strides=base.strides[:-1] + (width * base.strides[-1], base.strides[-1]),
+        )
+        view += rows
+    out_len = min(output_buffer.shape[-1], n_fft + hop_length * (n_frames - 1))
+    output_buffer[..., :out_len] += acc[..., :out_len]
 
 
 def istft(
@@ -196,9 +233,13 @@ def istft(
     expected_len = n_fft + hop_length * (n_frames - 1)
     y = np.zeros(stft_matrix.shape[:-2] + (expected_len,), dtype=np.float64)
 
-    # (..., n_fft, n_frames) windowed inverse frames, overlap-added.
-    ytmp = ifft_window[:, None] * np.fft.irfft(stft_matrix[..., :n_frames], n=n_fft, axis=-2)
-    overlap_add(y, ytmp, hop_length)
+    # time-major (..., n_frames, n_fft) windowed inverse frames: the irfft,
+    # the window broadcast, and the overlap-add scatter all run on the
+    # contiguous last axis
+    ytmp = np.fft.irfft(
+        np.swapaxes(stft_matrix[..., :n_frames], -1, -2), n=n_fft, axis=-1
+    ) * ifft_window
+    _overlap_add_time_major(y, ytmp, hop_length)
 
     win_sumsq = _window_sumsquare(
         window=window,
@@ -219,13 +260,10 @@ def istft(
 
 
 def _window_sumsquare(window, n_frames, win_length, n_fft, hop_length):
-    win_sq = get_window(window, win_length, fftbins=True) ** 2
-    win_sq = _pad_center(win_sq, n_fft)
-    n = n_fft + hop_length * (n_frames - 1)
-    x = np.zeros(n, dtype=np.float64)
-    for i in range(n_frames):
-        s = i * hop_length
-        x[s : min(n, s + n_fft)] += win_sq[: max(0, min(n_fft, n - s))]
+    # the same hop-strided scatter as overlap_add, on the broadcast window
+    win_sq = _pad_center(get_window(window, win_length, fftbins=True) ** 2, n_fft)
+    x = np.zeros(n_fft + hop_length * (n_frames - 1), dtype=np.float64)
+    overlap_add(x, np.broadcast_to(win_sq[:, None], (n_fft, n_frames)), hop_length)
     return x
 
 
@@ -260,24 +298,16 @@ def compute_amplitude(waveforms, lengths=None, amp_type="avg", dB=False):
 
     Parity: reference spectrum.py:497.
     """
-    waveforms = np.asarray(waveforms)
-    if waveforms.ndim == 1:
-        waveforms = np.expand_dims(waveforms, 0)
-    waveforms = np.abs(waveforms)
-
-    if amp_type == "avg":
-        if lengths is None:
-            out = waveforms.mean(axis=1, keepdims=True)
-        else:
-            out = waveforms.sum(axis=1, keepdims=True) / lengths
-    elif amp_type == "peak":
-        out = waveforms.max(axis=1, keepdims=True)
-    else:
+    if amp_type not in ("avg", "peak"):
         raise TypeError(f"Unsupported amplitude type {amp_type!r}")
-
-    if dB:
-        return (20 * np.log10(out)).clip(min=-80)
-    return out
+    mag = np.abs(np.atleast_2d(np.asarray(waveforms)))
+    if amp_type == "peak":
+        amp = mag.max(axis=1, keepdims=True)
+    elif lengths is None:
+        amp = mag.mean(axis=1, keepdims=True)
+    else:
+        amp = mag.sum(axis=1, keepdims=True) / lengths
+    return np.maximum(20 * np.log10(amp), -80.0) if dB else amp
 
 
 def spectrogram(

@@ -112,7 +112,7 @@ class ConformerEncoderLayer(nn.Module):
                 activation=lambda v: v * jax.nn.sigmoid(v),
                 dtype=self.dtype, mesh=self.moe_mesh,
                 expert_axis=self.moe_expert_axis, name="feed_forward",
-            )(y, deterministic=deterministic)
+            )(y, deterministic=deterministic, mask_pad=mask_pad)
         else:
             y = PositionwiseFeedForward(
                 self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),

@@ -76,11 +76,26 @@ class MoEFeedForward(nn.Module):
             x, NamedSharding(self.mesh, spec))
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, mask_pad=None):
+        """Apply the MoE FFN.
+
+        Args:
+            x: ``(B, T, D)`` tokens.
+            mask_pad: optional ``(B, T)`` bool, True at VALID positions.
+                Padded tokens are excluded from routing: they consume no
+                expert capacity (audio batches are heavily padded — without
+                this, pad frames evict real tokens via the cumsum priority),
+                contribute nothing to the load-balance statistics, and get a
+                zero MoE output (the surrounding residual carries them).
+        """
         from mindaudio_tpu.models.layers import FastDropout
 
         B, T, D = x.shape
         E, K, H = self.num_experts, self.top_k, self.hidden_units
+        if K > E:
+            raise ValueError(
+                f"top_k={K} exceeds num_experts={E}: each token can select "
+                "an expert at most once")
         S = B * T
         C = moe_capacity(S, E, K, self.capacity_factor)
 
@@ -98,16 +113,20 @@ class MoEFeedForward(nn.Module):
         xs = x.reshape(S, D)
         probs = jax.nn.softmax(
             jnp.asarray(xs, jnp.float32) @ gate_w, axis=-1)  # (S, E)
+        valid = (jnp.ones((S, 1), jnp.float32) if mask_pad is None
+                 else mask_pad.reshape(S, 1).astype(jnp.float32))
 
-        # top-k one-hot selections, highest prob first
+        # top-k one-hot selections, highest prob first; padded tokens are
+        # masked out of every selection so they never dispatch or consume
+        # capacity
         remaining = probs
         sel = []
         for _ in range(K):
             one = jax.nn.one_hot(jnp.argmax(remaining, -1), E,
-                                 dtype=jnp.float32)
+                                 dtype=jnp.float32) * valid
             sel.append(one)
             remaining = remaining * (1.0 - one)
-        sel_mask = sum(sel)  # (S, E), K ones per row
+        sel_mask = sum(sel)  # (S, E), K ones per valid row
 
         # combine weights: selected probs renormalized over the top-k
         gk = probs * sel_mask
@@ -120,9 +139,10 @@ class MoEFeedForward(nn.Module):
         for one in sel:
             pos = jnp.cumsum(one, axis=0) - one + counts  # (S, E)
             keep = one * (pos < C)
-            # one_hot is all-zero for positions outside [0, C)
+            # one_hot is all-zero for positions outside [0, C); pos is
+            # exact integer-valued, cast for int-typed one_hot
             dispatch = dispatch + keep[:, :, None] * jax.nn.one_hot(
-                pos, C, dtype=jnp.float32)
+                pos.astype(jnp.int32), C, dtype=jnp.float32)
             counts = counts + keep.sum(0)
         combine = dispatch * gk[:, :, None]  # (S, E, C)
 
@@ -138,9 +158,12 @@ class MoEFeedForward(nn.Module):
         y = jnp.einsum("sec,ecd->sd", combine.astype(self.dtype), out)
 
         # Switch load-balance loss: E * Σ_e (fraction routed to e) · (mean
-        # gate prob of e); uses the k=0 (primary) assignment for f_e
-        f_e = sel[0].mean(0)
-        p_e = probs.mean(0)
+        # gate prob of e); uses the k=0 (primary) assignment for f_e.
+        # Statistics run over VALID tokens only — pad frames carry no
+        # routing signal and would bias both factors toward their argmax.
+        n_valid = jnp.maximum(valid.sum(), 1.0)
+        f_e = sel[0].sum(0) / n_valid
+        p_e = (probs * valid).sum(0) / n_valid
         self.sow("intermediates", "moe_aux_loss",
                  E * jnp.sum(f_e * p_e))
 

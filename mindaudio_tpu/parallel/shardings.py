@@ -48,6 +48,12 @@ CONFORMER_TP_RULES: Sequence[Tuple[str, P]] = (
     # big output heads: shard the vocab dim
     (r"(output_layer|ctc_proj)/kernel$", P(None, "model")),
     (r"(output_layer|ctc_proj)/bias$", P("model")),
+    # MoE expert-stacked params (parallel/moe.py): expert dim over the
+    # model axis — EP for the STORED weights and their optimizer state, not
+    # just the in-graph cast copy. The dense FFN path never has bare
+    # w1/w2/b1/b2 children (its kernels live under Dense_0/Dense_1), so
+    # these cannot over-match.
+    (r"feed_forward/(w1|w2|b1|b2)$", P("model")),
 )
 
 
