@@ -227,38 +227,53 @@ def main():
 
     xd = jax.device_put(jnp.asarray(x))
 
-    def run():
-        return fused_logmel(
-            xd, n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS, sample_rate=SR
-        )
+    # Timing methodology (round 4, pinned): over the remote tunnel, per-call
+    # dispatch RPCs and stalls added a run-to-run spread of ±30% to the old
+    # 10-dispatch loop. The kernel now runs inside ONE jitted fori_loop whose
+    # carry chains iteration-to-iteration (sum * 0.0 is NOT float-foldable),
+    # timed at TWO iteration counts — the slope cancels the per-call
+    # dispatch constant exactly. n_lo/n_hi/spread are recorded in the JSON.
+    n_lo, n_hi, n_rep = 8, 48, 5
 
-    # warm-up covers compile AND the remote-tunnel cold path (first timed
-    # loops are otherwise 10-100x off)
-    for _ in range(10):
-        out = run()
-        float(jnp.sum(out))
+    def make_loop(iters):
+        @jax.jit
+        def f(x0):
+            def body(i, xx):
+                out = fused_logmel(
+                    xx, n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS,
+                    sample_rate=SR,
+                )
+                return xx + (jnp.sum(out) * 0.0).astype(xx.dtype)
+            return jax.lax.fori_loop(0, iters, body, x0)[0, 0]
+        return f
 
-    # best-of-3 trials: the remote tunnel has multi-second stalls that would
-    # otherwise dominate the mean
-    n_iter = 10
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.float32)
-        for _ in range(n_iter):
-            out = run()
-            acc = acc + jnp.sum(out)
-        float(acc)  # device sync through a data dependency
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    f_lo, f_hi = make_loop(n_lo), make_loop(n_hi)
+    float(f_lo(xd)), float(f_hi(xd))  # compile + tunnel cold path
+    t_lo, t_hi = [], []
+    for _ in range(n_rep):
+        t0 = time.perf_counter(); float(f_lo(xd))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(f_hi(xd))
+        t_hi.append(time.perf_counter() - t0)
+    slopes = sorted(
+        (hi - lo) / (n_hi - n_lo) for lo, hi in zip(sorted(t_lo), sorted(t_hi))
+    )[:3]
+    per_iter = slopes[0]
+    spread_pct = 100.0 * (slopes[-1] - slopes[0]) / per_iter
 
-    frames = out.shape[0] * out.shape[1] * n_iter
-    fps = frames / best_dt
+    out_sd = jax.eval_shape(
+        lambda v: fused_logmel(v, n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS,
+                               sample_rate=SR), xd)
+    fps = out_sd.shape[0] * out_sd.shape[1] / per_iter
     print(json.dumps({
         "metric": "fused_logmel_throughput",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / host_fps, 2),
         "baseline": "own host NumPy parity layer (librosa-equivalent math)",
+        "timing": {"method": "two-point slope, in-jit fori_loop",
+                   "n_lo": n_lo, "n_hi": n_hi, "reps": n_rep,
+                   "slope_spread_pct": round(spread_pct, 1)},
     }))
 
     conformer_train_bench()

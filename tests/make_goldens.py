@@ -91,7 +91,7 @@ class _AnyAttr:
         return name
 
 
-def _load_reference_module(path, module_name, extra_modules=()):
+def _load_reference_module(path, module_name, extra_modules=(), package=None):
     """Execute a reference source file from /root/reference with mindspore
     (and mindaudio, for recipe files) stubbed out, returning the module.
 
@@ -99,6 +99,10 @@ def _load_reference_module(path, module_name, extra_modules=()):
     values computed by the reference's own math, without mindspore and
     without committing any reference code (only the .npz outputs are
     committed).
+
+    ``package`` loads the file as a submodule of a synthetic package whose
+    ``__path__`` is the file's directory, so the reference's RELATIVE imports
+    (``from .spectrum import ...``) resolve to sibling reference sources.
     """
     import importlib.util
     import sys
@@ -115,13 +119,14 @@ def _load_reference_module(path, module_name, extra_modules=()):
 
     enum = _AnyAttr()
     stubs = {
-        "mindspore": stub("mindspore", Tensor=_NeverTensor),
+        "mindspore": stub("mindspore", Tensor=_NeverTensor, Parameter=object,
+                          ops=_AnyAttr(), nn=_AnyAttr()),
         "mindspore.dataset": stub("mindspore.dataset"),
         "mindspore.dataset.engine": stub("mindspore.dataset.engine"),
         "mindspore.dataset.audio": stub("mindspore.dataset.audio"),
         "mindspore.dataset.audio.utils": stub(
             "mindspore.dataset.audio.utils", BorderType=enum, MelType=enum,
-            NormType=enum, WindowType=enum),
+            NormType=enum, WindowType=enum, NormMode=enum, create_dct=None),
         "mindaudio": stub("mindaudio"),
         "mindaudio.utils": stub("mindaudio.utils"),
         "mindaudio.utils.common": stub(
@@ -140,15 +145,26 @@ def _load_reference_module(path, module_name, extra_modules=()):
     stubs["mindspore"].dataset = stubs["mindspore.dataset"]
     stubs["mindspore.dataset"].audio = stubs["mindspore.dataset.audio"]
     stubs["mindspore.dataset"].engine = stubs["mindspore.dataset.engine"]
+    if package is not None:
+        pkg = types.ModuleType(package)
+        pkg.__path__ = [os.path.dirname(path)]
+        stubs[package] = pkg
+        module_name = f"{package}.{module_name.rsplit('.', 1)[-1]}"
 
     saved = {k: sys.modules.get(k) for k in stubs}
     sys.modules.update(stubs)
     try:
         spec = importlib.util.spec_from_file_location(module_name, path)
         mod = importlib.util.module_from_spec(spec)
+        sys.modules[module_name] = mod
         spec.loader.exec_module(mod)
         return mod
     finally:
+        sys.modules.pop(module_name, None)
+        # drop any sibling reference modules pulled in by relative imports
+        if package is not None:
+            for k in [k for k in sys.modules if k.startswith(package + ".")]:
+                sys.modules.pop(k, None)
         for k, v in saved.items():
             if v is None:
                 sys.modules.pop(k, None)
@@ -167,6 +183,21 @@ def make_reference_goldens():
     ref_dataset = _load_reference_module(
         "/root/reference/examples/conformer/dataset.py", "_ref_conf_dataset")
 
+    # the reference sources predate numpy 2.0 (np.float_ was removed)
+    legacy_alias = not hasattr(np, "float_")
+    if legacy_alias:
+        np.float_ = np.float64
+
+    ref_processing = _load_reference_module(
+        "/root/reference/mindaudio/data/processing.py", "processing",
+        package="_refdata")
+    ref_filters = _load_reference_module(
+        "/root/reference/mindaudio/data/filters.py", "filters",
+        package="_refdata")
+    ref_features = _load_reference_module(
+        "/root/reference/mindaudio/data/features.py", "features",
+        package="_refdata")
+
     clips = load_clips()
     out = {}
     for name, (x, sr) in clips.items():
@@ -179,6 +210,87 @@ def make_reference_goldens():
             x.astype(np.float64), sample_rate=sr, frame_len=25,
             frame_shift=10, mel_bin=80),
         np.float32)
+
+    # --- round-4 additions: every further __all__ DSP function whose
+    # reference implementation is pure NumPy/SciPy once msaudio-delegating
+    # branches are avoided. (features.fbank/mfcc/compute_deltas and
+    # processing.sliding_window_cmn delegate to mindspore.dataset.audio C++
+    # kernels; torchaudio is also absent in-image, so those stay covered by
+    # the repo's own recorded goldens + the recipe povey fbank above.)
+    xb = x[None].astype(np.float64)  # (1, T) batch layout the reference uses
+    s = ref_spectrum.stft(x.astype(np.float64), n_fft=512, hop_length=160)
+
+    # spectrum: istft round-trip, dB conversions, amplitude
+    out["aishell/ref_istft"] = np.asarray(
+        ref_spectrum.istft(s, n_fft=512, hop_length=160, length=len(x)),
+        np.float32)
+    pow_spec = (np.abs(s) ** 2).astype(np.float64)
+    out["aishell/ref_amplitude_to_dB"] = np.asarray(
+        ref_spectrum.amplitude_to_dB(pow_spec, stype="power", top_db=80.0),
+        np.float32)
+    out["aishell/ref_dB_to_amplitude"] = np.asarray(
+        ref_spectrum.dB_to_amplitude(
+            out["aishell/ref_amplitude_to_dB"].astype(np.float64), 1.0, 0.5),
+        np.float32)
+    out["aishell/ref_compute_amplitude_avg"] = np.asarray(
+        ref_spectrum.compute_amplitude(xb, amp_type="avg"), np.float32)
+    out["aishell/ref_compute_amplitude_peak_db"] = np.asarray(
+        ref_spectrum.compute_amplitude(xb, amp_type="peak", dB=True),
+        np.float32)
+
+    # processing: resample (reference default 'fft' branch = scipy),
+    # normalize/unitarize/rescale, trim/split indices
+    out["aishell/ref_resample_8k"] = np.asarray(
+        ref_processing.resample(x.astype(np.float64), orig_freq=sr,
+                                new_freq=8000), np.float32)
+    out["aishell/ref_normalize_max"] = np.asarray(
+        ref_processing.normalize(xb, norm="max"), np.float32)
+    out["aishell/ref_unitarize"] = np.asarray(
+        ref_processing.unitarize(xb), np.float32)
+    out["aishell/ref_rescale_m20db"] = np.asarray(
+        ref_processing.rescale(xb, target_lvl=-20.0, dB=True), np.float32)
+    out["aishell/ref_trim_idx"] = np.asarray(
+        ref_processing.trim(x.astype(np.float64), top_db=30)[1], np.int64)
+    out["aishell/ref_split_idx"] = np.asarray(
+        ref_processing.split(x.astype(np.float64), top_db=30), np.int64)
+
+    # filters: notch kernel, scalar-biquad low-pass / peaking EQ (the
+    # reference's O(T) Python loop — run on a short slice), filtfilt,
+    # mel filterbank design
+    # NOTE: the reference's cal_filter_by_coffs mutates its input IN PLACE —
+    # every call gets its own copy or later goldens see filtered data
+    short = x[: sr // 4].astype(np.float64)
+    out["ref_notch_kernel"] = np.asarray(
+        ref_filters.notch_filter(0.25, filter_width=101, notch_width=0.05),
+        np.float32).ravel()
+    out["aishell/ref_low_pass_1k"] = np.asarray(
+        ref_filters.low_pass_filter(short.copy(), sr, 1000.0), np.float32)
+    out["aishell/ref_peaking_eq"] = np.asarray(
+        ref_filters.peaking_equalizer(short.copy(), sr, 1500.0, gain=6.0,
+                                      q=0.9), np.float32)
+    out["aishell/ref_filtfilt"] = np.asarray(
+        ref_filters.filtfilt(x.astype(np.float64), 4, 0.2, "lowpass"),
+        np.float32)
+    out["ref_mel_fb"] = np.asarray(
+        ref_filters.mel(sr=16000, n_fft=512, n_mels=40, norm="slaney"),
+        np.float32)
+    out["ref_mel_freqs_htk"] = np.asarray(
+        ref_filters.mel_frequencies(42, fmin=0.0, fmax=8000.0, htk=True),
+        np.float32)
+
+    # features: soft_mask / hpss / harmonic (pure NumPy + scipy.ndimage)
+    mag = np.abs(s).astype(np.float64)
+    out["aishell/ref_soft_mask"] = np.asarray(
+        ref_features.soft_mask(mag, mag.mean() + 0 * mag, power=2),
+        np.float32)
+    h, p = ref_features.hpss(s, kernel_size=17)
+    out["aishell/ref_hpss_h"] = np.asarray(np.abs(h), np.float32)
+    out["aishell/ref_hpss_p"] = np.asarray(np.abs(p), np.float32)
+    out["aishell/ref_harmonic"] = np.asarray(
+        ref_features.harmonic(x.astype(np.float64), kernel_size=17),
+        np.float32)
+    if legacy_alias:
+        del np.float_
     return out
 
 

@@ -214,3 +214,131 @@ class TestReferenceDerivedGolden:
         err = np.abs(kf - ref)
         assert err.max() < 0.25, err.max()
         assert err.mean() < 0.005, err.mean()
+
+    # ---- round-4 additions: the remaining pure-NumPy reference functions —
+
+    def _wav(self, g):
+        return g["aishell/wav"], int(g["aishell/sr"])
+
+    def test_istft_equals_reference(self, g):
+        """reference spectrum.py:346 istft on the fixture stft."""
+        from mindaudio_tpu.data import spectrum
+
+        x, _ = self._wav(g)
+        S = spectrum.stft(x.astype(np.float64), n_fft=512, hop_length=160)
+        y = spectrum.istft(S, n_fft=512, hop_length=160, length=len(x))
+        np.testing.assert_allclose(y, g["aishell/ref_istft"],
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_amplitude_to_dB_equals_reference(self, g):
+        """reference spectrum.py:25 (incl. the batch top_db floor)."""
+        from mindaudio_tpu.data import spectrum
+
+        x, _ = self._wav(g)
+        S = spectrum.stft(x.astype(np.float64), n_fft=512, hop_length=160)
+        db = spectrum.amplitude_to_dB(np.abs(S).astype(np.float64) ** 2,
+                                      stype="power", top_db=80.0)
+        np.testing.assert_allclose(db, g["aishell/ref_amplitude_to_dB"],
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_dB_to_amplitude_equals_reference(self, g):
+        from mindaudio_tpu.data import spectrum
+
+        db = g["aishell/ref_amplitude_to_dB"].astype(np.float64)
+        amp = spectrum.dB_to_amplitude(db, 1.0, 0.5)
+        np.testing.assert_allclose(amp, g["aishell/ref_dB_to_amplitude"],
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_compute_amplitude_equals_reference(self, g):
+        from mindaudio_tpu.data import spectrum
+
+        x, _ = self._wav(g)
+        xb = x[None].astype(np.float64)
+        np.testing.assert_allclose(
+            spectrum.compute_amplitude(xb, amp_type="avg"),
+            g["aishell/ref_compute_amplitude_avg"], rtol=1e-6)
+        np.testing.assert_allclose(
+            spectrum.compute_amplitude(xb, amp_type="peak", dB=True),
+            g["aishell/ref_compute_amplitude_peak_db"], rtol=1e-6)
+
+    def test_resample_equals_reference(self, g):
+        """reference processing.py:132 (default 'fft' scipy branch)."""
+        from mindaudio_tpu.data import processing
+
+        x, sr = self._wav(g)
+        y = processing.resample(x.astype(np.float64), orig_freq=sr,
+                                new_freq=8000)
+        np.testing.assert_allclose(y, g["aishell/ref_resample_8k"],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_norms_equal_reference(self, g):
+        from mindaudio_tpu.data import processing
+
+        x, _ = self._wav(g)
+        xb = x[None].astype(np.float64)
+        np.testing.assert_allclose(
+            processing.normalize(xb, norm="max"),
+            g["aishell/ref_normalize_max"], rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            processing.unitarize(xb), g["aishell/ref_unitarize"],
+            rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            processing.rescale(xb, target_lvl=-20.0, dB=True),
+            g["aishell/ref_rescale_m20db"], rtol=1e-5, atol=1e-7)
+
+    def test_trim_split_equal_reference(self, g):
+        from mindaudio_tpu.data import processing
+
+        x, _ = self._wav(g)
+        _, idx = processing.trim(x.astype(np.float64), top_db=30)
+        np.testing.assert_array_equal(idx, g["aishell/ref_trim_idx"])
+        splits = processing.split(x.astype(np.float64), top_db=30)
+        # the repo clamps interval ends to the signal length (reference may
+        # return an end index past the end — a documented quirk)
+        ref_splits = np.minimum(g["aishell/ref_split_idx"], len(x))
+        np.testing.assert_array_equal(splits, ref_splits)
+
+    def test_filters_equal_reference(self, g):
+        """reference filters.py: windowed-sinc notch kernel, scalar-biquad
+        low-pass / peaking EQ, scipy filtfilt, slaney mel filterbank."""
+        from mindaudio_tpu.data import filters
+
+        x, sr = self._wav(g)
+        short = x[: sr // 4].astype(np.float64)
+        np.testing.assert_allclose(
+            np.ravel(filters.notch_filter(0.25, 101, 0.05)),
+            g["ref_notch_kernel"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            filters.low_pass_filter(short, sr, 1000.0),
+            g["aishell/ref_low_pass_1k"], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            filters.peaking_equalizer(short, sr, 1500.0, gain=6.0, q=0.9),
+            g["aishell/ref_peaking_eq"], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            filters.filtfilt(x.astype(np.float64), 4, 0.2, "lowpass"),
+            g["aishell/ref_filtfilt"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            filters.mel(sr=16000, n_fft=512, n_mels=40, norm="slaney"),
+            g["ref_mel_fb"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            filters.mel_frequencies(42, fmin=0.0, fmax=8000.0, htk=True),
+            g["ref_mel_freqs_htk"], rtol=1e-5)
+
+    def test_hpss_family_equals_reference(self, g):
+        """reference features.py soft_mask/hpss/harmonic (NumPy + ndimage)."""
+        from mindaudio_tpu.data import features, spectrum
+
+        x, _ = self._wav(g)
+        S = spectrum.stft(x.astype(np.float64), n_fft=512, hop_length=160)
+        mag = np.abs(S).astype(np.float64)
+        np.testing.assert_allclose(
+            features.soft_mask(mag, mag.mean() + 0 * mag, power=2),
+            g["aishell/ref_soft_mask"], rtol=1e-5, atol=1e-6)
+        h, p = features.hpss(S, kernel_size=17)
+        np.testing.assert_allclose(np.abs(h), g["aishell/ref_hpss_h"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.abs(p), g["aishell/ref_hpss_p"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            features.harmonic(x.astype(np.float64), kernel_size=17),
+            g["aishell/ref_harmonic"], rtol=1e-4, atol=1e-5)
