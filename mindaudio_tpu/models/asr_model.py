@@ -60,6 +60,10 @@ class ASRModel(nn.Module):
     sp_axis: str = "seq"
     sp_variant: str = "ring"
     sp_batch_axis: Optional[str] = "data"
+    # W8A8 int8-MXU forward for the encoder FFNs and the CTC vocab
+    # projection — the two training-dominant matmul groups (PERF.md FLOP
+    # balance). Backward stays bf16 (ops/quant.py int8_training_matmul).
+    int8_ffn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -81,6 +85,7 @@ class ASRModel(nn.Module):
             sp_axis=self.sp_axis,
             sp_variant=self.sp_variant,
             sp_batch_axis=self.sp_batch_axis,
+            int8_ffn=self.int8_ffn,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
@@ -93,7 +98,11 @@ class ASRModel(nn.Module):
             dtype=self.dtype,
         )
         # CTC projection (reference loss/ctc_loss.py:10 fuses Dense + CTCLossV2)
-        self.ctc_proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="ctc_proj")
+        from .layers import Int8Dense
+
+        proj_cls = Int8Dense if self.int8_ffn else nn.Dense
+        self.ctc_proj = proj_cls(self.vocab_size, dtype=self.dtype,
+                                 name="ctc_proj")
 
     def __call__(self, batch, deterministic: bool = True, chunk_rng=None):
         """Hybrid training loss.

@@ -58,6 +58,9 @@ class ConformerEncoderLayer(nn.Module):
     moe_capacity_factor: float = 1.25
     moe_mesh: Optional[object] = None
     moe_expert_axis: str = "model"
+    # W8A8 int8-MXU forward for both FFNs (bf16 backward; ops/quant.py
+    # int8_training_matmul) — the FFNs carry ~10x the attention FLOPs here
+    int8_ffn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +73,7 @@ class ConformerEncoderLayer(nn.Module):
             y = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
             y = PositionwiseFeedForward(
                 self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
-                dtype=self.dtype, name="feed_forward_macaron",
+                int8=self.int8_ffn, dtype=self.dtype, name="feed_forward_macaron",
             )(y, deterministic=deterministic)
             x = res + 0.5 * FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
@@ -116,7 +119,7 @@ class ConformerEncoderLayer(nn.Module):
         else:
             y = PositionwiseFeedForward(
                 self.ffn_dim, self.dropout_rate, activation=lambda v: v * jax.nn.sigmoid(v),
-                dtype=self.dtype, name="feed_forward",
+                int8=self.int8_ffn, dtype=self.dtype, name="feed_forward",
             )(y, deterministic=deterministic)
         scale = 0.5 if self.use_macaron else 1.0
         x = res + scale * FastDropout(self.dropout_rate)(y, deterministic=deterministic)
@@ -168,6 +171,8 @@ class ConformerEncoder(nn.Module):
     moe_capacity_factor: float = 1.25
     moe_mesh: Optional[object] = None
     moe_expert_axis: str = "model"
+    # int8-MXU FFN forwards in every block (see ConformerEncoderLayer)
+    int8_ffn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -191,7 +196,7 @@ class ConformerEncoder(nn.Module):
                 moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
                 moe_mesh=self.moe_mesh, moe_expert_axis=self.moe_expert_axis,
-                dtype=self.dtype, name=f"layer_{i}",
+                int8_ffn=self.int8_ffn, dtype=self.dtype, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]

@@ -27,6 +27,7 @@ __all__ = [
     "quantize_int8",
     "int8_matmul",
     "int8_dynamic_matmul",
+    "int8_training_matmul",
     "dequantize_int8",
     "quantize_dense_params",
     "intercept_dense_int8",
@@ -225,6 +226,76 @@ def int8_dynamic_matmul(x, values, scales):
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * scales[None, :].astype(jnp.float32)
     return y.reshape(*lead, values.shape[1]).astype(orig_dtype)
+
+
+def _w8a8_apply(x2, w):
+    """(M, K) x (K, N) through the int8 MXU with fresh dynamic scales.
+
+    Per-row activation scales + per-output-channel weight scales, both
+    recomputed from the live values (training weights change every step).
+    The v5e int8 systolic array runs 2x the bf16 rate; slope-timed at the
+    flagship FFN shape (4096x256x2048) this path measures 1.38x XLA bf16
+    end-to-end including the quantization VPU work (benchmarks, round 4 —
+    the round-3 "1.02-1.06x" table was per-call dispatch overhead
+    amortized over too few in-jit iterations, not device time).
+    """
+    xf = x2.astype(jnp.float32)
+    sx = jnp.maximum(jnp.abs(xf).max(axis=1, keepdims=True), 1e-12) * (1 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    sw = jnp.maximum(jnp.abs(wf).max(axis=0, keepdims=True), 1e-12) * (1 / 127.0)
+    wq = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * sw
+
+
+@jax.custom_vjp
+def int8_training_matmul(x, w):
+    """``x @ w`` with a W8A8 int8-MXU forward and a bf16 backward.
+
+    The TRAINING counterpart of :func:`int8_dynamic_matmul`: ``w`` is the
+    live f32 parameter (quantized fresh each step, per output channel), the
+    forward runs int8 x int8 → int32 on the MXU, and the backward is the
+    standard straight-through estimator — ``dx = g @ wᵀ`` and
+    ``dw = xᵀ @ g`` computed in bf16 from the UNQUANTIZED saved operands,
+    so gradient quality is identical to the bf16 step and only the forward
+    pays the ~1% W8A8 rounding error.
+
+    Args:
+        x: ``(..., K)`` activations (any float dtype).
+        w: ``(K, N)`` float weights.
+
+    Returns:
+        ``(..., N)`` in ``x``'s dtype.
+    """
+    lead = x.shape[:-1]
+    y = _w8a8_apply(x.reshape(-1, x.shape[-1]), w)
+    return y.reshape(*lead, w.shape[1]).astype(x.dtype)
+
+
+def _int8_training_fwd(x, w):
+    return int8_training_matmul(x, w), (x, w)
+
+
+def _int8_training_bwd(res, g):
+    x, w = res
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    g2 = g.reshape(-1, g.shape[-1]).astype(jnp.bfloat16)
+    x2 = x.reshape(-1, k).astype(jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        g2, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(*lead, k).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return dx, dw
+
+
+int8_training_matmul.defvjp(_int8_training_fwd, _int8_training_bwd)
 
 
 def quantize_dense_params(params, min_weights=65536):

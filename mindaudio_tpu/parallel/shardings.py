@@ -102,6 +102,55 @@ def infer_shardings(tree, mesh: Mesh, rules=CONFORMER_TP_RULES):
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
 
 
-def state_shardings(state, mesh: Mesh, rules=CONFORMER_TP_RULES):
-    """Shardings for a full TrainState (params + opt_state + scalars)."""
-    return infer_shardings(state, mesh, rules)
+def _zero1_spec(tp_spec: P, leaf, data_size: int, data_axis: str) -> P:
+    """Extend a leaf's TP spec with the data axis on the first free dim.
+
+    ZeRO-1 shards each optimizer-moment tensor over the ``data`` axis along
+    the first dimension that (a) is not already taken by a tensor-parallel
+    axis and (b) divides the data-axis size. Leaves with no such dim (odd
+    shapes, scalars) keep their TP spec — correctness never depends on a
+    leaf being sharded.
+    """
+    spec = list(tuple(tp_spec)) + [None] * (leaf.ndim - len(tuple(tp_spec)))
+    for i, (dim, axis) in enumerate(zip(leaf.shape, spec)):
+        if axis is None and dim % data_size == 0 and dim >= data_size:
+            spec[i] = data_axis
+            return P(*spec)
+    return P(*spec)
+
+
+def state_shardings(state, mesh: Mesh, rules=CONFORMER_TP_RULES,
+                    zero1: bool = False, data_axis: str = "data"):
+    """Shardings for a full TrainState (params + opt_state + scalars).
+
+    ``zero1=True`` additionally shards the optimizer-state moment tensors
+    (every float leaf under ``opt_state``) over the ``data`` mesh axis —
+    ZeRO stage 1. With bf16-m/f32-v AdamW the optimizer state is ~2.5x the
+    params and otherwise fully replicated across data-parallel devices; the
+    AdamW update is elementwise, so GSPMD keeps the moment update local to
+    each shard and inserts one all-gather of the (elementwise) param delta
+    per step — the classic ZeRO-1 exchange. Params stay replicated, so the
+    forward/backward and the loss trajectory are bit-identical to the
+    replicated run (tests/test_zero1.py asserts this).
+
+    New capability beyond the reference, which explicitly opts out of
+    optimizer sharding (reference models/layers/layernorm.py:36
+    ``parallel_optimizer=False``); SURVEY §2.6 ZeRO row.
+    """
+    if not zero1 or mesh.shape.get(data_axis, 1) <= 1:
+        return infer_shardings(state, mesh, rules)
+
+    model_size = mesh.shape.get("model", 1)
+    data_size = mesh.shape[data_axis]
+
+    def leaf_sharding(path, leaf):
+        path_s = _path_str(path)
+        spec = _spec_for(path_s, leaf, rules, model_size)
+        if ("opt_state" in path_s.split("/")
+                and hasattr(leaf, "dtype")
+                and jax.numpy.issubdtype(leaf.dtype, jax.numpy.floating)
+                and getattr(leaf, "ndim", 0) >= 1):
+            spec = _zero1_spec(spec, leaf, data_size, data_axis)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
