@@ -60,11 +60,21 @@ def build_tokenizer(cfg):
     return tok
 
 
-def build_model(cfg, vocab_size):
+def build_model(cfg, vocab_size, mesh=None, training=True):
+    """Build the ASRModel from the config.
+
+    ``mesh`` enables the parallelism the config asks for: MoE experts ride
+    the ``model`` axis (EP), ``train.pipeline_stages > 1`` streams the
+    encoder blocks over the ``pipe`` axis (GPipe). ``training=False``
+    (predict.py) keeps MoE routing (the checkpoint's param tree needs it)
+    but drops the pipeline — decode batches are too small to fill a pipe.
+    """
     cmvn_mean = cmvn_istd = None
     if os.path.exists(cfg.data.cmvn_file):
         mean, istd = load_cmvn(cfg.data.cmvn_file)
         cmvn_mean, cmvn_istd = jnp.asarray(mean), jnp.asarray(istd)
+    moe_experts = int(cfg.model.get("moe_experts", 0))
+    pipe_stages = int(cfg.train.get("pipeline_stages", 1)) if training else 1
     return ASRModel(
         vocab_size=vocab_size,
         input_dim=cfg.model.input_dim,
@@ -82,6 +92,15 @@ def build_model(cfg, vocab_size):
         cmvn_mean=cmvn_mean,
         cmvn_istd=cmvn_istd,
         remat=bool(cfg.model.get("remat", False)),
+        int8_ffn=bool(cfg.model.get("int8_ffn", False)),
+        moe_experts=moe_experts,
+        moe_top_k=int(cfg.model.get("moe_top_k", 2)),
+        moe_capacity_factor=float(cfg.model.get("moe_capacity_factor", 1.25)),
+        moe_mesh=(mesh if moe_experts > 0 and mesh is not None
+                  and mesh.shape.get("model", 1) > 1 else None),
+        pipeline_mesh=(mesh if pipe_stages > 1 and mesh is not None
+                       and mesh.shape.get("pipe", 1) > 1 else None),
+        pipeline_microbatches=int(cfg.train.get("pipeline_microbatches", 4)),
         dtype=jnp.bfloat16 if cfg.optim.bf16 else jnp.float32,
     )
 
@@ -109,16 +128,37 @@ def device_features(cfg, wavs, wav_lens, rng, train=True):
 
 
 def make_step(cfg, model, mesh, st_sh):
+    use_moe = int(cfg.model.get("moe_experts", 0)) > 0
+    moe_aux_w = float(cfg.model.get("moe_aux_weight", 0.01))
+
     def loss_fn(params, batch, rng):
         k_feat, k_drop, k_chunk = jax.random.split(rng, 3)
         feats, feat_lens = device_features(
             cfg, batch["wavs"], batch["wav_lens"], k_feat, train=True
         )
         model_batch = dict(batch, feats=feats, feat_lens=feat_lens)
-        loss, metrics = model.apply(
-            {"params": params}, model_batch, deterministic=False,
-            chunk_rng=k_chunk, rngs={"dropout": k_drop},
-        )
+        if use_moe:
+            # routers sow their Switch load-balance losses; pull and add
+            (loss, metrics), inter = model.apply(
+                {"params": params}, model_batch, deterministic=False,
+                chunk_rng=k_chunk, rngs={"dropout": k_drop},
+                mutable=["intermediates"],
+            )
+            aux_leaves = [
+                jnp.asarray(v).mean() for path, v in
+                jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+                if "moe_aux_loss" in "/".join(
+                    str(getattr(p, "key", p)) for p in path)
+            ]
+            if aux_leaves:
+                moe_aux = sum(aux_leaves) / len(aux_leaves)
+                loss = loss + moe_aux_w * moe_aux
+                metrics = dict(metrics, moe_aux=moe_aux)
+        else:
+            loss, metrics = model.apply(
+                {"params": params}, model_batch, deterministic=False,
+                chunk_rng=k_chunk, rngs={"dropout": k_drop},
+            )
         return loss, metrics
 
     def step(state, batch):
@@ -163,12 +203,17 @@ def main():
     initialize_distributed()
 
     model_axis = int(cfg.train.mesh_model_axis)
-    mesh = make_mesh(data=jax.device_count() // model_axis, model=model_axis)
+    pipe_axis = int(cfg.train.get("pipeline_stages", 1))
+    mesh = make_mesh(data=jax.device_count() // (model_axis * pipe_axis),
+                     model=model_axis, pipe=pipe_axis)
     logger.info("mesh: %s", mesh)
+    # with the pipeline on, every batch must split into whole microbatches
+    batch_multiple = mesh.shape["data"] * (
+        int(cfg.train.get("pipeline_microbatches", 4)) if pipe_axis > 1 else 1)
 
     tokenizer = build_tokenizer(cfg)
     logger.info("vocab: %d", tokenizer.vocab_size)
-    model = build_model(cfg, tokenizer.vocab_size)
+    model = build_model(cfg, tokenizer.vocab_size, mesh=mesh)
 
     # init on the smallest bucket shape
     it = batch_iterator(
@@ -176,7 +221,7 @@ def main():
         rank=jax.process_index(), world_size=jax.process_count(),
         speed_perturb=bool(cfg.data.speed_perturb),
         batch_factor=float(cfg.data.batch_factor),
-        batch_multiple=mesh.shape["data"],
+        batch_multiple=batch_multiple,
         max_label_len=int(cfg.data.max_label_len),
         frame_bucket_limit=cfg.data.get("frame_bucket_limit"),
         batch_bucket_limit=cfg.data.get("batch_bucket_limit"),
@@ -244,7 +289,8 @@ def main():
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
     logger.info("params: %.1fM", n_params / 1e6)
 
-    st_sh = state_shardings(state, mesh)
+    st_sh = state_shardings(
+        state, mesh, zero1=bool(cfg.train.get("zero1_optimizer", False)))
     state = jax.device_put(state, st_sh)
     step_fn, eval_fn, data_sh = make_step(cfg, model, mesh, st_sh)
 
@@ -255,7 +301,7 @@ def main():
         for _, frames, batch in batch_iterator(
             cfg.data.dev_csv, tokenizer, epochs=1, speed_perturb=False,
             rank=jax.process_index(), world_size=jax.process_count(),
-            batch_multiple=mesh.shape["data"],
+            batch_multiple=batch_multiple,
             batch_factor=float(cfg.data.batch_factor),
             max_label_len=int(cfg.data.max_label_len),
             frame_bucket_limit=cfg.data.get("frame_bucket_limit"),

@@ -64,6 +64,17 @@ class ASRModel(nn.Module):
     # projection — the two training-dominant matmul groups (PERF.md FLOP
     # balance). Backward stays bf16 (ops/quant.py int8_training_matmul).
     int8_ffn: bool = False
+    # Mixture-of-Experts encoder blocks (parallel/moe.py). The router's
+    # load-balance loss is sowed under intermediates/moe_aux_loss; trainers
+    # apply(..., mutable=["intermediates"]) and add moe_aux_weight * aux.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_mesh: Optional[object] = None
+    moe_expert_axis: str = "model"
+    # GPipe pipeline over the encoder blocks (see ConformerEncoder)
+    pipeline_mesh: Optional[object] = None
+    pipeline_microbatches: int = 4
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -86,6 +97,13 @@ class ASRModel(nn.Module):
             sp_variant=self.sp_variant,
             sp_batch_axis=self.sp_batch_axis,
             int8_ffn=self.int8_ffn,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_mesh=self.moe_mesh,
+            moe_expert_axis=self.moe_expert_axis,
+            pipeline_mesh=self.pipeline_mesh,
+            pipeline_microbatches=self.pipeline_microbatches,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(

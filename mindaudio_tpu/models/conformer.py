@@ -173,6 +173,17 @@ class ConformerEncoder(nn.Module):
     moe_expert_axis: str = "model"
     # int8-MXU FFN forwards in every block (see ConformerEncoderLayer)
     int8_ffn: bool = False
+    # GPipe pipeline parallelism over the blocks (parallel/pipeline.py):
+    # set pipeline_mesh to a Mesh with a 'pipe' axis that divides
+    # num_layers. The layer params keep their layer_i checkpoint layout
+    # (stacked in-graph each step — a transient copy, so this pipelines
+    # COMPUTE; persistent param-memory sharding is the direct
+    # pipeline_apply usage). Dropout keys are folded per layer; each
+    # layer's mask is shared across microbatches.
+    pipeline_mesh: Optional[object] = None
+    pipeline_microbatches: int = 4
+    pipeline_axis: str = "pipe"
+    pipeline_batch_axis: Optional[str] = "data"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -247,9 +258,68 @@ class ConformerEncoder(nn.Module):
         )  # (B, T', T') or (B, 1, T')
         mask_pad = masks[:, 0, :]
 
-        for layer in self.layers:
-            xs = layer(xs, chunk_masks, pos_emb, mask_pad, deterministic)
+        if self.pipeline_mesh is not None and not self.is_initializing():
+            xs = self._pipeline_blocks(xs, chunk_masks, pos_emb, mask_pad,
+                                       deterministic)
+        else:
+            for layer in self.layers:
+                xs = layer(xs, chunk_masks, pos_emb, mask_pad, deterministic)
         return xs, masks
+
+    def _pipeline_blocks(self, xs, chunk_masks, pos_emb, mask_pad,
+                         deterministic):
+        """Run the block stack as a GPipe pipeline over the ``pipe`` axis.
+
+        Params are created layer-by-layer as usual (the sequential path
+        runs at init), then stacked in-graph and streamed through
+        ``parallel.pipeline.pipeline_apply``; masks ride along as
+        per-microbatch batched extras. Numerically equal to the sequential
+        loop when deterministic (tested); under dropout each layer folds
+        its index into the step key, with the same mask shared across
+        microbatches (documented deviation — iid per layer, not per row).
+        """
+        from ..parallel.pipeline import pipeline_apply, stack_layer_params
+
+        stacked = {
+            "p": stack_layer_params(
+                [l.variables["params"] for l in self.layers]),
+            "i": jnp.arange(self.num_layers),
+        }
+        layer_cfg = dict(
+            d_model=self.d_model, head_num=self.head_num,
+            ffn_dim=self.ffn_dim, dropout_rate=self.dropout_rate,
+            kernel_size=self.kernel_size, norm_type=self.norm_type,
+            causal_conv=self.causal_conv, int8_ffn=self.int8_ffn,
+            dtype=self.dtype,
+        )
+        # parent=None detaches the template from this module tree (we only
+        # use its .apply with explicitly-passed stacked params)
+        layer_mod = ConformerEncoderLayer(**layer_cfg, parent=None)
+
+        extras = (pos_emb,)
+        if not deterministic:
+            extras += (jax.random.key_data(self.make_rng("dropout")),)
+
+        def layer_fn(pk, h, pos_emb, *rest):
+            if deterministic:
+                (mask, mpad), rngs = rest, None
+            else:
+                key_data, mask, mpad = rest
+                key = jax.random.wrap_key_data(
+                    key_data, impl="rbg" if key_data.shape == (4,)
+                    else "threefry2x32")
+                rngs = {"dropout": jax.random.fold_in(key, pk["i"])}
+            return layer_mod.apply(
+                {"params": pk["p"]}, h, mask, pos_emb, mpad,
+                deterministic, rngs=rngs)
+
+        return pipeline_apply(
+            layer_fn, stacked, xs, self.pipeline_mesh,
+            num_microbatches=self.pipeline_microbatches,
+            extras=extras, batched_extras=(chunk_masks, mask_pad),
+            axis_name=self.pipeline_axis,
+            batch_axis=self.pipeline_batch_axis,
+        )
 
     def forward_chunk(self, xs, att_caches=None, cnn_caches=None,
                       required_cache_size=-1):

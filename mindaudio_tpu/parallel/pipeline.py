@@ -59,11 +59,16 @@ def _apply_stage(layer_fn, stage_params, x, extras):
 
 
 def pipeline_spmd(layer_fn, stage_params, microbatches, extras=(),
-                  axis_name: str = "pipe"):
+                  batched=(), axis_name: str = "pipe"):
     """The per-device pipeline schedule. Must run inside ``shard_map`` with
     ``axis_name`` bound; ``stage_params`` is the LOCAL stage's layer stack
     (global layer dim already split over the axis), ``microbatches`` is the
     full ``(M, mb, ...)`` stack (replicated over the pipe axis).
+
+    ``batched`` entries are per-microbatch side inputs stacked ``(M, ...)``
+    (e.g. attention masks): at tick ``t`` stage ``s`` is processing
+    microbatch ``t - s``, so each stage dynamic-indexes its CURRENT
+    microbatch's entry and passes it to ``layer_fn`` after ``extras``.
 
     Returns the ``(M, mb, ...)`` outputs, replicated over the pipe axis.
     """
@@ -93,7 +98,13 @@ def pipeline_spmd(layer_fn, stage_params, microbatches, extras=(),
         mb = jax.lax.dynamic_index_in_dim(
             microbatches, jnp.minimum(t, n_micro - 1), 0, keepdims=False)
         inp = jnp.where(idx == 0, mb, state)
-        y = _apply_stage(layer_fn, stage_params, inp, extras)
+        # this stage is working on microbatch t - idx (clamped at the rims,
+        # where the compute is warm-up/drain filler that is never banked)
+        mb_idx = jnp.clip(t - idx, 0, n_micro - 1)
+        b_ex = tuple(
+            jax.lax.dynamic_index_in_dim(e, mb_idx, 0, keepdims=False)
+            for e in batched)
+        y = _apply_stage(layer_fn, stage_params, inp, tuple(extras) + b_ex)
         # last stage banks microbatch t-(S-1) from tick S-1 on
         out_t = t - (size - 1)
         write = (idx == size - 1) & (out_t >= 0)
@@ -114,20 +125,28 @@ def pipeline_spmd(layer_fn, stage_params, microbatches, extras=(),
 
 
 def pipeline_apply(layer_fn, stacked_params, x, mesh: Mesh, *,
-                   num_microbatches: int, extras=(),
-                   axis_name: str = "pipe",
+                   num_microbatches: int, extras=(), extras_specs=None,
+                   batched_extras=(), axis_name: str = "pipe",
                    batch_axis: Optional[str] = "data"):
     """Run ``x`` through L stacked layers as a ``pipe``-axis pipeline.
 
     Args:
-        layer_fn: ``(params_l, h, *extras) -> h`` — one layer's apply.
+        layer_fn: ``(params_l, h, *extras, *batched) -> h`` — one layer's
+            apply. ``batched`` entries arrive as this microbatch's rows.
         stacked_params: param pytree with leading layer dim L on every leaf
             (see :func:`stack_layer_params`); L must divide evenly into
             ``mesh.shape[axis_name]`` stages.
         x: global input ``(B, ...)``; B must divide ``num_microbatches``
             (and the microbatch rows the ``batch_axis`` size, when given).
         extras: replicated side inputs forwarded to every layer call
-            (e.g. attention mask, positional embedding).
+            (e.g. positional embedding, rng key data).
+        extras_specs: optional per-entry ``PartitionSpec`` for ``extras``
+            (default: all replicated).
+        batched_extras: side inputs with a leading GLOBAL batch dim B
+            (e.g. attention masks): reshaped to ``(M, B/M, ...)`` and
+            dynamic-indexed so each stage sees its CURRENT microbatch's
+            rows — required for DPxPP, where a replicated whole-batch mask
+            would shape-mismatch the split microbatch rows.
         batch_axis: also shard microbatch rows over this axis (DP x PP);
             ``None`` replicates the batch over the whole mesh.
 
@@ -148,21 +167,26 @@ def pipeline_apply(layer_fn, stacked_params, x, mesh: Mesh, *,
     if batch % num_microbatches != 0:
         raise ValueError(f"batch {batch} not divisible by {num_microbatches} "
                          "microbatches")
-    x_mb = x.reshape((num_microbatches, batch // num_microbatches)
-                     + x.shape[1:])
+    mb = batch // num_microbatches
+    x_mb = x.reshape((num_microbatches, mb) + x.shape[1:])
+    batched_mb = tuple(
+        e.reshape((num_microbatches, mb) + e.shape[1:])
+        for e in batched_extras)
 
     bspec = (batch_axis if batch_axis and mesh.shape.get(batch_axis, 1) > 1
              else None)
     param_specs = jax.tree_util.tree_map(
         lambda _: P(axis_name), stacked_params)
     mb_spec = P(None, bspec)
-    extras_specs = tuple(P() for _ in extras)
+    if extras_specs is None:
+        extras_specs = tuple(P() for _ in extras)
+    batched_specs = tuple(mb_spec for _ in batched_mb)
 
     mapped = shard_map(
         functools.partial(pipeline_spmd, layer_fn, axis_name=axis_name),
         mesh=mesh,
-        in_specs=(param_specs, mb_spec, extras_specs),
+        in_specs=(param_specs, mb_spec, tuple(extras_specs), batched_specs),
         out_specs=mb_spec,
     )
-    out = mapped(stacked_params, x_mb, tuple(extras))
+    out = mapped(stacked_params, x_mb, tuple(extras), batched_mb)
     return out.reshape((batch,) + out.shape[2:])

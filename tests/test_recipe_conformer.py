@@ -99,3 +99,44 @@ class TestConformerRecipe:
             # its own train.py must not get these cached ones
             for mod in ("train", "predict", "compute_cmvn_stats", "dataset"):
                 sys.modules.pop(mod, None)
+
+    def _train_variant(self, aishell_tree, tmp_path, extra_args):
+        """Run train.py with extra flags; returns nothing, asserts a ckpt."""
+        sys.path.insert(0, RECIPE)
+        old_cwd = os.getcwd()
+        os.chdir(RECIPE)
+        old_argv = sys.argv
+        try:
+            ckpt_dir = tmp_path / "ckpt"
+            args = _args(aishell_tree, ckpt_dir) + extra_args
+            sys.argv = ["train.py"] + args
+            import train as conformer_train
+
+            conformer_train.main()
+            from mindaudio_tpu.train.checkpoint import list_steps
+
+            assert list_steps(str(ckpt_dir))
+        finally:
+            os.chdir(old_cwd)
+            sys.argv = old_argv
+            sys.path.remove(RECIPE)
+            for mod in ("train", "predict", "compute_cmvn_stats", "dataset"):
+                sys.modules.pop(mod, None)
+
+    def test_train_moe(self, aishell_tree, tmp_path):
+        """MoE-Conformer (E=4 top-2, EP over 'model') through the recipe:
+        the moe_experts YAML knob, router aux loss added by make_step."""
+        self._train_variant(aishell_tree, tmp_path, [
+            "--model.moe_experts", "4", "--model.moe_top_k", "2",
+            "--train.mesh_model_axis", "4",
+        ])
+
+    def test_train_pipeline_zero1(self, aishell_tree, tmp_path):
+        """GPipe PP of the encoder blocks (pipe=2) x DP(4), with ZeRO-1
+        optimizer sharding on, through the recipe."""
+        self._train_variant(aishell_tree, tmp_path, [
+            "--model.num_encoder_layers", "4",
+            "--train.pipeline_stages", "4",
+            "--train.pipeline_microbatches", "2",
+            "--train.zero1_optimizer", "true",
+        ])
