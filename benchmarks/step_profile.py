@@ -16,7 +16,8 @@ SR = 16000
 
 
 def build(int8=False, dropout=True, ctc_weight=0.3, features=True,
-          optimizer=True, forward_only=False, batch_size=32):
+          optimizer=True, forward_only=False, batch_size=32,
+          attn_dropout=0.0):
     import jax, jax.numpy as jnp, optax
     from mindaudio_tpu.models.asr_model import ASRModel
     from mindaudio_tpu.ops.spectral import kaldi_fbank
@@ -29,7 +30,7 @@ def build(int8=False, dropout=True, ctc_weight=0.3, features=True,
     model = ASRModel(vocab_size=vocab, input_dim=80, d_model=256, head_num=4,
                      ffn_dim=2048, num_encoder_layers=12, num_decoder_layers=6,
                      kernel_size=15, ctc_weight=ctc_weight, dtype=jnp.bfloat16,
-                     int8_ffn=int8)
+                     int8_ffn=int8, attention_dropout_rate=attn_dropout)
     frame_len, frame_shift = 400, 160
     n_frames = 1027
     wav_len = n_frames * frame_shift + frame_len
@@ -96,7 +97,7 @@ def build(int8=False, dropout=True, ctc_weight=0.3, features=True,
     return step, state, batch
 
 
-def slope_time(step, state, batch, n_lo=5, n_hi=25, reps=4):
+def slope_time(step, state, batch, n_lo=5, n_hi=25, reps=6):
     import jax
     import bench
 
@@ -125,6 +126,7 @@ def slope_time(step, state, batch, n_lo=5, n_hi=25, reps=4):
 VARIANTS = {
     # name: build kwargs
     "full_bf16": {},
+    "attn_dropout_0p1": {"attn_dropout": 0.1},  # pre-round-4 parity bug
     "full_int8": {"int8": True},
     "fwd_only_bf16": {"forward_only": True},
     "fwd_only_int8": {"forward_only": True, "int8": True},

@@ -154,14 +154,15 @@ def train(root: str, steps: int, extra=()):
     conformer_train.main()
 
 
-def decode(root: str, avg: int, mode: str = "ctc_greedy"):
+def decode(root: str, avg: int, mode: str = "ctc_greedy", extra=()):
     import predict
 
     results_path = os.path.join(root, "results.json")
     results = (json.load(open(results_path)) if os.path.exists(results_path)
                else {})
     sys.argv = (["predict.py"] + _args(root, 0)
-                + ["--decode.average_num", str(avg), "--decode.mode", mode])
+                + ["--decode.average_num", str(avg), "--decode.mode", mode]
+                + list(extra))
     cer_val = predict.main()
     key = f"{mode}_avg{avg}" if avg > 1 else f"{mode}_last"
     results[key] = cer_val
@@ -200,7 +201,10 @@ if __name__ == "__main__":
         mode = "ctc_greedy"
         if "--mode" in argv:
             i = argv.index("--mode"); mode = argv[i + 1]
-        decode(root, avg, mode)
+        extra = []
+        if "--extra" in argv:
+            i = argv.index("--extra"); extra = argv[i + 1:]
+        decode(root, avg, mode, extra)
     elif stage == "report":
         report(root)
     else:

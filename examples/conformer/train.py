@@ -84,6 +84,8 @@ def build_model(cfg, vocab_size, mesh=None, training=True):
         num_encoder_layers=cfg.model.num_encoder_layers,
         num_decoder_layers=cfg.model.num_decoder_layers,
         dropout_rate=cfg.model.dropout_rate,
+        attention_dropout_rate=float(
+            cfg.model.get("attention_dropout_rate", 0.0)),
         kernel_size=cfg.model.kernel_size,
         ctc_weight=cfg.model.ctc_weight,
         lsm_weight=cfg.model.lsm_weight,

@@ -118,7 +118,8 @@ def main():
 
     from mindaudio_tpu.parallel.shardings import state_shardings
 
-    st_sh = state_shardings(state, mesh)
+    st_sh = state_shardings(
+        state, mesh, zero1=bool(cfg.train.get("zero1_optimizer", False)))
     state = jax.device_put(state, st_sh)
     step_fn, data_sh = make_step(cfg, model, mesh, st_sh)
 

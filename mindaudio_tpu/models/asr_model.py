@@ -46,6 +46,9 @@ class ASRModel(nn.Module):
     num_encoder_layers: int = 12
     num_decoder_layers: int = 6
     dropout_rate: float = 0.1
+    # attention-WEIGHT dropout; the reference trains with 0
+    # (reference examples/conformer/conformer.yaml:11,27-28)
+    attention_dropout_rate: float = 0.0
     kernel_size: int = 15
     ctc_weight: float = 0.3
     lsm_weight: float = 0.1
@@ -85,6 +88,7 @@ class ASRModel(nn.Module):
             ffn_dim=self.ffn_dim,
             num_layers=self.num_encoder_layers,
             dropout_rate=self.dropout_rate,
+            attention_dropout_rate=self.attention_dropout_rate,
             kernel_size=self.kernel_size,
             use_dynamic_chunk=self.use_dynamic_chunk,
             static_chunk_size=self.static_chunk_size,
@@ -113,6 +117,7 @@ class ASRModel(nn.Module):
             ffn_dim=self.ffn_dim,
             num_layers=self.num_decoder_layers,
             dropout_rate=self.dropout_rate,
+            attention_dropout_rate=self.attention_dropout_rate,
             dtype=self.dtype,
         )
         # CTC projection (reference loss/ctc_loss.py:10 fuses Dense + CTCLossV2)

@@ -42,6 +42,11 @@ class ConformerEncoderLayer(nn.Module):
     head_num: int
     ffn_dim: int
     dropout_rate: float = 0.1
+    # separate rate for attention-WEIGHT dropout. The reference trains with
+    # attention_dropout_rate: 0 (reference examples/conformer/conformer.yaml:11)
+    # — and the (B, H, T, T) score masks are also the single most expensive
+    # dropout surface (~2 ms/step of hardware-RNG bits at B=32).
+    attention_dropout_rate: float = 0.0
     kernel_size: int = 15
     norm_type: str = "layer_norm"
     causal_conv: bool = False
@@ -81,7 +86,7 @@ class ConformerEncoderLayer(nn.Module):
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         y = RelPositionMultiHeadedAttention(
-            self.head_num, self.dropout_rate, dtype=self.dtype,
+            self.head_num, self.attention_dropout_rate, dtype=self.dtype,
             sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
             sp_variant=self.sp_variant, sp_batch_axis=self.sp_batch_axis,
             name="self_attn",
@@ -144,6 +149,7 @@ class ConformerEncoder(nn.Module):
     ffn_dim: int = 2048
     num_layers: int = 12
     dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0  # reference conformer.yaml:11
     kernel_size: int = 15
     norm_type: str = "layer_norm"
     use_dynamic_chunk: bool = False
@@ -201,7 +207,9 @@ class ConformerEncoder(nn.Module):
         self.layers = [
             layer_cls(
                 self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
-                self.kernel_size, self.norm_type, self.causal_conv,
+                attention_dropout_rate=self.attention_dropout_rate,
+                kernel_size=self.kernel_size, norm_type=self.norm_type,
+                causal_conv=self.causal_conv,
                 sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                 sp_variant=self.sp_variant, sp_batch_axis=self.sp_batch_axis,
                 moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
@@ -288,6 +296,7 @@ class ConformerEncoder(nn.Module):
         layer_cfg = dict(
             d_model=self.d_model, head_num=self.head_num,
             ffn_dim=self.ffn_dim, dropout_rate=self.dropout_rate,
+            attention_dropout_rate=self.attention_dropout_rate,
             kernel_size=self.kernel_size, norm_type=self.norm_type,
             causal_conv=self.causal_conv, int8_ffn=self.int8_ffn,
             dtype=self.dtype,
@@ -395,20 +404,25 @@ class DecoderLayer(nn.Module):
     head_num: int
     ffn_dim: int
     dropout_rate: float = 0.1
+    # reference conformer.yaml:27-28 trains with self/src attention-weight
+    # dropout 0
+    attention_dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, tgt_mask, memory, memory_mask, deterministic=True):
         res = tgt
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
-        y = MultiHeadedAttention(self.head_num, self.dropout_rate, dtype=self.dtype, name="self_attn")(
+        y = MultiHeadedAttention(self.head_num, self.attention_dropout_rate,
+                                 dtype=self.dtype, name="self_attn")(
             y, y, y, mask=tgt_mask, deterministic=deterministic
         )
         x = res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
 
         res = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = MultiHeadedAttention(self.head_num, self.dropout_rate, dtype=self.dtype, name="src_attn")(
+        y = MultiHeadedAttention(self.head_num, self.attention_dropout_rate,
+                                 dtype=self.dtype, name="src_attn")(
             y, memory, memory, mask=memory_mask, deterministic=deterministic
         )
         x = res + FastDropout(self.dropout_rate)(y, deterministic=deterministic)
@@ -435,6 +449,7 @@ class TransformerDecoder(nn.Module):
     ffn_dim: int = 2048
     num_layers: int = 6
     dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -449,6 +464,7 @@ class TransformerDecoder(nn.Module):
         for i in range(self.num_layers):
             x = DecoderLayer(
                 self.d_model, self.head_num, self.ffn_dim, self.dropout_rate,
+                attention_dropout_rate=self.attention_dropout_rate,
                 dtype=self.dtype, name=f"layer_{i}",
             )(x, tgt_mask, memory, memory_mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
