@@ -72,16 +72,15 @@ def synth_utterance(rng, phones):
         n = dur * HOP
         t = np.arange(n) / SR
         formants, bws, amps = phone_envelope(int(p))
-        x = np.zeros(n)
-        # harmonic source shaped by the formant envelope
-        for k in range(1, int(SR / 2 / f0) + 1):
-            fk = k * f0
-            if fk >= SR / 2:
-                break
-            a = sum(a0 * np.exp(-0.5 * ((fk - fc) / bw) ** 2)
-                    for fc, bw, a0 in zip(formants, bws, amps))
-            a += 0.02  # spectral floor so every harmonic exists
-            x += a * np.sin(2 * np.pi * fk * t + rng.uniform(0, 2 * np.pi))
+        # all harmonics at once: (K, n) bank shaped by the formant envelope
+        fk = np.arange(1, int(SR / 2 / f0) + 1, dtype=np.float64) * f0
+        fk = fk[fk < SR / 2]
+        a = (amps[None, :] * np.exp(
+            -0.5 * ((fk[:, None] - formants[None, :]) / bws[None, :]) ** 2)
+        ).sum(1) + 0.02  # spectral floor so every harmonic exists
+        phases = rng.uniform(0, 2 * np.pi, size=len(fk))
+        x = (a[:, None] * np.sin(
+            2 * np.pi * fk[:, None] * t[None, :] + phases[:, None])).sum(0)
         x *= energy / (np.abs(x).max() + 1e-9)
         # 5 ms raised-cosine edges avoid clicks at phone boundaries
         edge = int(0.005 * SR)
