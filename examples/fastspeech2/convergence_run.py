@@ -134,6 +134,43 @@ def build_corpus(out_dir, n_utts, seed=0, write_wavs=False):
     return names[-n_dev:]
 
 
+def fs2_mel_to_wavegrad(ln_mel):
+    """FS2 ln(power-mel) → WaveGrad's [0,1] dB convention (generate.py:79)."""
+    return np.clip((10.0 * ln_mel / np.log(10.0) + 80.0) / 100.0,
+                   0.0, 1.0).astype(np.float32)
+
+
+def prepare_wavegrad_corpus(corpus_dir, out_dir):
+    """Corpus wavs → WaveGrad (audio, mel) features in the SAME mel
+    convention ``vocode_e2e`` feeds the vocoder, so the e2e leg is trained
+    and driven consistently. Counterpart of examples/wavegrad/preprocess.py
+    for the synthetic convergence corpus."""
+    from mindaudio_tpu.data import io, spectrum
+
+    os.makedirs(out_dir, exist_ok=True)
+    wav_dir = os.path.join(corpus_dir, "wavs")
+    entries = []
+    for name in sorted(os.listdir(wav_dir)):
+        if not name.endswith(".wav"):
+            continue
+        utt = os.path.splitext(name)[0]
+        wav, _ = io.read(os.path.join(wav_dir, name))
+        wav = np.asarray(wav, np.float32)
+        n_frames = len(wav) // HOP
+        wav = wav[: n_frames * HOP]
+        mel = spectrum.melspectrogram(
+            wav, n_fft=N_FFT, hop_length=HOP, win_length=N_FFT,
+            n_mels=N_MELS, sample_rate=SR, norm="slaney", mel_type="slaney",
+        )[:, :n_frames]
+        mel = fs2_mel_to_wavegrad(np.log(np.maximum(mel, 1e-5))).T
+        np.save(os.path.join(out_dir, utt + ".npy"),
+                {"audio": wav, "mel": mel.astype(np.float32)})
+        entries.append(utt)
+    with open(os.path.join(out_dir, "train.txt"), "w") as f:
+        f.write("\n".join(entries))
+    print(f"wrote {len(entries)} wavegrad utterances to {out_dir}")
+
+
 def mcd_db(a, b):
     """MCD-13 (dB) between two aligned log-mel matrices (T, n_mels)."""
     from scipy.fftpack import dct
@@ -152,10 +189,21 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
     from train import build_model
 
     fs2, _ = build_model(cfg)
+    # pin params on device once — numpy leaves restored from the checkpoint
+    # would otherwise be re-uploaded on EVERY jit call (~100 MB/utt over the
+    # tunnel; measured: dominates eval wall time)
+    params = jax.device_put(params)
     infer = jax.jit(lambda p, ph, sl: fs2.apply(
         {"params": p}, ph, sl, MAX_MEL, method=fs2.infer))
+    # teacher-forced forward (gt duration/pitch/energy): frame-aligned mel
+    # metrics that isolate spectral quality from prosody-induced time drift
+    # (free-running mel-L1 also counts every frame a duration error shifts)
+    infer_tf = jax.jit(lambda p, ph, sl, pit, en, dur: fs2.apply(
+        {"params": p}, ph, sl, MAX_MEL,
+        pitch_target=pit, energy_target=en, duration_target=dur))
 
     d_mae = d_exact = p_mae = e_mae = mel_l1 = mcd = n_ph_total = 0.0
+    mel_l1_tf = mcd_tf = 0.0
     n_utt = 0
     sample = None
     for name in dev_names:
@@ -184,6 +232,19 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
         m_gt = s["mel"][:t].astype(np.float64)
         mel_l1 += float(np.abs(m_pred - m_gt).mean())
         mcd += mcd_db(m_pred, m_gt)
+
+        # teacher-forced pass: exact frame alignment
+        pit = np.zeros((1, cfg.data.max_phoneme_len), np.float32)
+        en = np.zeros((1, cfg.data.max_phoneme_len), np.float32)
+        du = np.zeros((1, cfg.data.max_phoneme_len), np.int32)
+        pit[0, :L], en[0, :L], du[0, :L] = s["pitch"], s["energy"], s["duration"]
+        mel_tf = infer_tf(params, jnp.asarray(ph), jnp.asarray([L], jnp.int32),
+                          jnp.asarray(pit), jnp.asarray(en), jnp.asarray(du))[0]
+        t_tf = min(int(s["duration"].sum()), s["mel"].shape[0], MAX_MEL)
+        m_tf = np.asarray(mel_tf[0, :t_tf], np.float64)
+        g_tf = s["mel"][:t_tf].astype(np.float64)
+        mel_l1_tf += float(np.abs(m_tf - g_tf).mean())
+        mcd_tf += mcd_db(m_tf, g_tf)
         n_utt += 1
         if sample is None:
             sample = (name, np.asarray(mel[0, :t], np.float32),
@@ -197,6 +258,8 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
         "energy_mae": round(e_mae / n_ph_total, 4),
         "mel_l1": round(mel_l1 / n_utt, 4),
         "mcd13_db": round(mcd / n_utt, 3),
+        "mel_l1_teacher_forced": round(mel_l1_tf / n_utt, 4),
+        "mcd13_db_teacher_forced": round(mcd_tf / n_utt, 3),
     }
 
     name, m_pred, m_gt, s = sample
@@ -223,9 +286,7 @@ def vocode_e2e(fs2_mel, wavegrad_ckpt, out_dir):
     wg_params = (ckpt["params"]["model"]
                  if "model" in ckpt["params"] else ckpt["params"])
 
-    # FS2 ln(power-mel) → WaveGrad's [0,1] dB convention (generate.py:79)
-    mel_db = np.clip((10.0 * fs2_mel / np.log(10.0) + 80.0) / 100.0,
-                     0.0, 1.0).astype(np.float32)
+    mel_db = fs2_mel_to_wavegrad(fs2_mel)
 
     def apply_fn(params, mel_b, audio, scale):
         return wg.apply({"params": params}, mel_b, audio, scale)
@@ -259,17 +320,30 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--utts", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=32)
+    # post-LN FFT stacks sit near a cliff at Adam lr 1e-3: one large-ish
+    # (clipped!) update can tip the decoder into the constant-output basin,
+    # from which 1e-3 cannot retrain it (measured: mel 0.39 -> 2.11 in <50
+    # steps at step ~1375, flat thereafter; the torch-lineage Noam schedule
+    # decays through this region instead of holding 1e-3 for 5k steps).
+    ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--corpus_dir", default="")
     ap.add_argument("--wavegrad_ckpt", default="",
                     help="trained WaveGrad ckpt dir for the end-to-end leg")
     ap.add_argument("--write_wavs", action="store_true",
                     help="also write corpus wavs (to train a WaveGrad on)")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--prep_wavegrad", default="",
+                    help="write WaveGrad (audio, mel) features for the corpus"
+                         " wavs to this dir and exit")
     args = ap.parse_args()
 
     out_dir = os.path.join(HERE, "convergence")
     os.makedirs(out_dir, exist_ok=True)
     feature_dir = args.corpus_dir or os.path.join(out_dir, "corpus")
+
+    if args.prep_wavegrad:
+        prepare_wavegrad_corpus(feature_dir, args.prep_wavegrad)
+        return
 
     if not os.path.exists(os.path.join(feature_dir, "train.txt")):
         print(f"building corpus ({args.utts} utts) ...", flush=True)
@@ -286,6 +360,7 @@ def main():
         "--data.max_phoneme_len", str(MAX_PH),
         "--data.max_mel_len", str(MAX_MEL),
         "--data.batch_size", str(args.batch),
+        "--optim.lr", str(args.lr),
         "--optim.epochs", "100000",
         "--train.max_steps", str(args.steps),
         "--train.ckpt_dir", ckpt_dir,
@@ -296,10 +371,16 @@ def main():
     import train as fs2_train
 
     if not args.skip_train:
-        # capture the recipe's step logs into a committed loss curve
+        # capture the recipe's step logs into a committed loss curve.
+        # Pre-warm get_logger FIRST: train.main()'s own get_logger call
+        # drops all existing handlers when it (re)configures the logger,
+        # which silently discarded the curve handler before this fix.
         import logging
         import re
 
+        from mindaudio_tpu.train.log import get_logger
+
+        get_logger("fastspeech2")
         curve = []
 
         class _Curve(logging.Handler):

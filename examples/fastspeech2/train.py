@@ -89,9 +89,12 @@ def main():
         jnp.asarray(first["pitch"]), jnp.asarray(first["energy"]),
         jnp.asarray(first["duration"]),
     )["params"]
+    # warmup is REQUIRED for the post-LN FFT stacks — without it Adam@1e-3
+    # collapses the encoder to input-independence (see scheduler docstring)
     schedule = exponential_decay_lr(
         float(cfg.optim.lr), float(cfg.optim.decay_rate),
         int(cfg.optim.decay_steps),
+        warmup_steps=int(cfg.optim.get("warmup_steps", 1000)),
     )
     tx = optax.adam(schedule)
     state = TrainState.create(apply_fn=net.apply, params=params, tx=tx,
@@ -136,9 +139,10 @@ def main():
             m = {k: float(v) for k, v in metrics.items()}
             logger.info(
                 "epoch %d step %d loss %.4f (mel %.4f dur %.4f pitch %.4f "
-                "energy %.4f) %.2f s/step",
+                "energy %.4f) gnorm %.2f %.2f s/step",
                 epoch, step_count, m["loss"], m["mel"], m["dur"], m["pitch"],
-                m["energy"], (time.time() - t0) / step_count,
+                m["energy"], m.get("grad_norm", float("nan")),
+                (time.time() - t0) / step_count,
             )
         if step_count % int(cfg.train.save_every_steps) == 0:
             # all ranks call save (orbax is a global collective; primary writes)

@@ -135,8 +135,13 @@ class VarianceAdaptor(nn.Module):
         self.pitch_predictor = VariancePredictor(name="pitch_predictor")
         self.energy_predictor = VariancePredictor(name="energy_predictor")
         self.length_regulator = LengthRegulator(name="length_regulator")
-        self.pitch_embedding = nn.Embed(self.n_bins, self.d_model, name="pitch_embedding")
-        self.energy_embedding = nn.Embed(self.n_bins, self.d_model, name="energy_embedding")
+        # unit-variance init for the same reason as src_embed (torch lineage)
+        self.pitch_embedding = nn.Embed(
+            self.n_bins, self.d_model, name="pitch_embedding",
+            embedding_init=nn.initializers.normal(1.0))
+        self.energy_embedding = nn.Embed(
+            self.n_bins, self.d_model, name="energy_embedding",
+            embedding_init=nn.initializers.normal(1.0))
         self.pitch_bins = jnp.linspace(self.pitch_range[0], self.pitch_range[1], self.n_bins - 1)
         self.energy_bins = jnp.linspace(self.energy_range[0], self.energy_range[1], self.n_bins - 1)
 
@@ -211,7 +216,14 @@ class FastSpeech2(nn.Module):
         src_mask = make_non_pad_mask(src_lens, L)  # (B, L) True=valid
 
         pos = jnp.asarray(sinusoid_table(self.max_seq_len, self.d_model))
-        x = nn.Embed(self.vocab_size, self.d_model, name="src_embed")(phonemes)
+        # Unit-variance embedding init (the reference's torch lineage:
+        # nn.Embedding ~ N(0,1)). Flax's default 1/sqrt(d) init makes the
+        # phone identity ~16x weaker than the sigma~0.7 sinusoid table the
+        # encoder adds next, and the variance predictors then collapse to
+        # the corpus mean for thousands of steps (measured: duration
+        # predictions constant across phones at 4k steps).
+        x = nn.Embed(self.vocab_size, self.d_model, name="src_embed",
+                     embedding_init=nn.initializers.normal(1.0))(phonemes)
         x = x + pos[None, :L]
         for i in range(self.encoder_layers):
             x = FFTBlock(

@@ -69,14 +69,27 @@ def step_lr(lr, epoch_size, factor=0.5, interval=2):
     return schedule
 
 
-def exponential_decay_lr(lr, decay_rate, decay_steps, staircase=True):
-    """``lr * decay_rate^(step / decay_steps)``."""
+def exponential_decay_lr(lr, decay_rate, decay_steps, staircase=True,
+                         warmup_steps=0):
+    """``lr * decay_rate^(step / decay_steps)``, with optional linear warmup.
+
+    ``warmup_steps > 0`` ramps 0→lr linearly first. Post-norm transformer
+    stacks (the FastSpeech2 FFT encoder/decoder) NEED this: Adam at 1e-3
+    from step 0 through ≥4 post-LN blocks lands in an input-independent
+    basin within ~50 steps and never escapes (measured — a 4-block stack
+    could not fit 16 utterances at lr 1e-3 but fits easily with warmup;
+    see examples/fastspeech2/convergence_run.py protocol notes).
+    """
 
     def schedule(step):
-        p = jnp.asarray(step) / decay_steps
+        s = jnp.asarray(step).astype(jnp.float32)
+        p = s / decay_steps
         if staircase:
             p = jnp.floor(p)
-        return lr * decay_rate**p.astype(jnp.float32)
+        base = lr * decay_rate**p.astype(jnp.float32)
+        if warmup_steps <= 0:
+            return base
+        return jnp.where(s < warmup_steps, lr * s / warmup_steps, base)
 
     return schedule
 
