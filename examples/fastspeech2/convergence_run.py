@@ -294,7 +294,7 @@ def vocode_e2e(fs2_mel, wavegrad_ckpt, out_dir):
     audio = np.asarray(reverse_diffusion(
         wg_params, apply_fn, jnp.asarray(mel_db[None]),
         jax.random.PRNGKey(0), hop=HOP,
-        schedule=fast_noise_schedule(),
+        betas=fast_noise_schedule(),
     )[0], np.float32)
     io.write(os.path.join(out_dir, "e2e_sample.wav"), audio, SR)
 
