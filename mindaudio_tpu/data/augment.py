@@ -331,29 +331,27 @@ def add_babble(waveforms, lengths, speaker_count=3, snr_low=0, snr_high=0, mix_p
     """
     rng = np.random.default_rng() if rng is None else rng
     waveforms = np.asarray(waveforms)
-    babbled = waveforms.copy()
-    lengths = np.expand_dims(np.asarray(lengths) * waveforms.shape[1], axis=1)
-    batch_size = len(waveforms)
-
     if rng.random() > mix_prob:
-        return babbled
+        return waveforms.copy()
+
+    batch = len(waveforms)
+    lengths = (np.asarray(lengths) * waveforms.shape[1]).reshape(batch, 1)
 
     clean_amplitude = compute_amplitude(waveforms, lengths)
-    snr = rng.random((batch_size, 1)) * (snr_high - snr_low) + snr_low
-    noise_amplitude_factor = 1 / (dB_to_amplitude(snr, 1, 1) + 1)
-    new_noise_amplitude = noise_amplitude_factor * clean_amplitude
+    snr = rng.random((batch, 1)) * (snr_high - snr_low) + snr_low
+    noise_gain = 1.0 / (dB_to_amplitude(snr, 1, 1) + 1.0)
 
-    babbled *= 1 - noise_amplitude_factor
-
-    babble_waveform = np.roll(waveforms, 1, axis=0)
-    babble_len = np.roll(lengths, 1, axis=0)
-    for i in range(1, speaker_count):
-        babble_waveform += np.roll(waveforms, 1 + i, axis=0)
-        babble_len = np.maximum(babble_len, np.roll(babble_len, 1, axis=0))
-
-    babble_amplitude = compute_amplitude(babble_waveform, babble_len)
-    babble_waveform *= new_noise_amplitude / (babble_amplitude + 1e-14)
-    return babbled + babble_waveform
+    # item b babbles with items b-1 .. b-speaker_count (cyclic): one
+    # fancy-indexed gather instead of a roll-accumulate loop. The effective
+    # babble length is the max over the contributing items' lengths.
+    src = (np.arange(batch)[None, :]
+           - np.arange(1, speaker_count + 1)[:, None]) % batch
+    babble = waveforms[src].sum(axis=0)
+    babble_len = lengths[src].max(axis=0)
+    babble = babble * (noise_gain * clean_amplitude
+                       / (compute_amplitude(babble, babble_len) + 1e-14))
+    out = (1.0 - noise_gain) * waveforms + babble
+    return out.astype(waveforms.dtype, copy=False)
 
 
 def drop_freq(
@@ -379,20 +377,22 @@ def drop_freq(
     elif orig_ndim == 2:
         dropped = dropped[..., None]
 
-    drop_count = int(rng.integers(drop_count_low, drop_count_high + 1))
-    drop_range = drop_freq_high - drop_freq_low
-    drop_frequency = rng.random(drop_count) * drop_range + drop_freq_low
+    n_drops = int(rng.integers(drop_count_low, drop_count_high + 1))
+    freqs = drop_freq_low + rng.random(n_drops) * (drop_freq_high - drop_freq_low)
 
+    # compose all notch kernels into ONE 101-tap filter (convolution is
+    # associative; 'same' truncation keeps each stage centered), then apply
+    # it to the signal in a single pass
     filter_length = 101
     pad = filter_length // 2
-    drop_filter = np.zeros([1, filter_length, 1])
-    drop_filter[0, pad, 0] = 1
+    kernel = np.zeros(filter_length)
+    kernel[pad] = 1.0
+    for f in freqs:
+        kernel = np.convolve(
+            kernel, notch_filter(f, filter_length, drop_width)[0, :, 0],
+            mode="same")
 
-    for frequency in drop_frequency:
-        notch_kernel = notch_filter(frequency, filter_length, drop_width)
-        drop_filter = convolve1d(drop_filter, notch_kernel, pad)
-
-    dropped = convolve1d(dropped, drop_filter, pad)
+    dropped = convolve1d(dropped, kernel[None, :, None], pad)
 
     if orig_ndim == 2:
         return dropped[..., 0]
@@ -506,34 +506,49 @@ def time_stretch(waveforms, rate=None):
 
 
 def _phase_vocoder(matrix, rate, hop_length=None, n_fft=None):
-    """Classic Ellis phase vocoder over an STFT matrix ``(..., freq, time)``."""
+    """Vectorized Ellis phase vocoder over an STFT matrix ``(..., freq, time)``.
+
+    One gather + one cumulative sum replace the reference's per-output-frame
+    Python loop (reference augment.py:828-890): magnitudes are linearly
+    interpolated between the two bracketing input frames; each bin's phase
+    advance is unwrapped against its expected per-hop advance and the output
+    phase is the running (exclusive) sum of those advances along the
+    stretched time axis. The accumulation runs in float64 — the loop form
+    kept its accumulator in the float32 the first ``np.angle`` returned, so
+    its phase drifted ~1e-4 rad/frame once the unwrapped phase grew large.
+    """
+    matrix = np.asarray(matrix)
     if n_fft is None:
         n_fft = 2 * (matrix.shape[-2] - 1)
-    if hop_length is None:
-        hop_length = int(n_fft // 4)
+    hop = int(n_fft // 4) if hop_length is None else hop_length
 
-    time_steps = np.arange(0, matrix.shape[-1], rate, dtype=np.float64)
-    shape = list(matrix.shape)
-    shape[-1] = len(time_steps)
-    d_stretch = np.zeros(shape, dtype=matrix.dtype)
+    # fractional input positions of the stretched output frames
+    pos = np.arange(0, matrix.shape[-1], rate, dtype=np.float64)
+    lo = pos.astype(np.int64)
+    frac = pos - lo
 
-    phi_advance = np.linspace(0, np.pi * hop_length, matrix.shape[-2])
-    phase_acc = np.angle(matrix[..., 0])
+    padded = np.pad(matrix, [(0, 0)] * (matrix.ndim - 1) + [(0, 2)])
+    # transcendentals once over the padded matrix, in its native f32
+    # precision (the f64 cumsum below is where accuracy actually matters);
+    # the per-output-frame gathers are then cheap indexing
+    mag_all = np.abs(padded)
+    ang_all = np.angle(padded)
 
-    padding = [(0, 0)] * matrix.ndim
-    padding[-1] = (0, 2)
-    matrix = np.pad(matrix, padding, mode="constant")
+    f = frac.astype(mag_all.dtype)
+    mag = (1.0 - f) * mag_all[..., lo] + f * mag_all[..., lo + 1]
 
-    for t, step in enumerate(time_steps):
-        columns = matrix[..., int(step) : int(step + 2)]
-        alpha = np.mod(step, 1.0)
-        mag = (1.0 - alpha) * np.abs(columns[..., 0]) + alpha * np.abs(columns[..., 1])
-        d_stretch[..., t] = mag * (np.cos(phase_acc) + 1j * np.sin(phase_acc))
-        dphase = np.angle(columns[..., 1]) - np.angle(columns[..., 0]) - phi_advance
-        dphase -= 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
-        phase_acc += phi_advance + dphase
-
-    return d_stretch
+    omega = np.linspace(0, np.pi * hop, matrix.shape[-2])[:, None]
+    delta = (ang_all[..., lo + 1] - ang_all[..., lo]) - omega
+    delta -= 2.0 * np.pi * np.round(delta / (2.0 * np.pi))  # wrap to ±pi
+    advance = omega + delta
+    phase = (np.cumsum(advance, axis=-1) - advance) + ang_all[..., :1]
+    phase = phase.astype(mag.dtype)
+    # assemble through the real/imag views: `mag * (cos + 1j*sin)` would
+    # promote everything to complex128 (the `1j` literal is a Python complex)
+    out = np.empty(phase.shape, dtype=matrix.dtype)
+    out.real = mag * np.cos(phase)
+    out.imag = mag * np.sin(phase)
+    return out
 
 
 def pitch_shift(waveforms, sr, n_steps, bins_per_octave=12):
