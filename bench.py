@@ -233,7 +233,11 @@ def main():
     # carry chains iteration-to-iteration (sum * 0.0 is NOT float-foldable),
     # timed at TWO iteration counts — the slope cancels the per-call
     # dispatch constant exactly. n_lo/n_hi/spread are recorded in the JSON.
-    n_lo, n_hi, n_rep = 8, 48, 5
+    # a wide iteration gap (Δ=80) halves the slope's sensitivity to residual
+    # tunnel stalls vs the original Δ=40, and a whole attempt is retried when
+    # its best-3 slope spread exceeds 5% (an interfered session shows up as
+    # spread — round-4 measured one 11%-spread run reading 13% high)
+    n_lo, n_hi, n_rep = 8, 88, 7
 
     def make_loop(iters):
         @jax.jit
@@ -249,17 +253,27 @@ def main():
 
     f_lo, f_hi = make_loop(n_lo), make_loop(n_hi)
     float(f_lo(xd)), float(f_hi(xd))  # compile + tunnel cold path
-    t_lo, t_hi = [], []
-    for _ in range(n_rep):
-        t0 = time.perf_counter(); float(f_lo(xd))
-        t_lo.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(f_hi(xd))
-        t_hi.append(time.perf_counter() - t0)
-    slopes = sorted(
-        (hi - lo) / (n_hi - n_lo) for lo, hi in zip(sorted(t_lo), sorted(t_hi))
-    )[:3]
-    per_iter = slopes[0]
-    spread_pct = 100.0 * (slopes[-1] - slopes[0]) / per_iter
+
+    def one_attempt():
+        t_lo, t_hi = [], []
+        for _ in range(n_rep):
+            t0 = time.perf_counter(); float(f_lo(xd))
+            t_lo.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(f_hi(xd))
+            t_hi.append(time.perf_counter() - t0)
+        slopes = sorted(
+            (hi - lo) / (n_hi - n_lo)
+            for lo, hi in zip(sorted(t_lo), sorted(t_hi))
+        )[:3]
+        return slopes[0], 100.0 * (slopes[-1] - slopes[0]) / slopes[0]
+
+    per_iter, spread_pct = one_attempt()
+    for _ in range(2):
+        if spread_pct <= 5.0:
+            break
+        cand_iter, cand_spread = one_attempt()
+        if cand_spread < spread_pct:
+            per_iter, spread_pct = cand_iter, cand_spread
 
     out_sd = jax.eval_shape(
         lambda v: fused_logmel(v, n_fft=N_FFT, hop_length=HOP, n_mels=N_MELS,
