@@ -128,6 +128,37 @@ class TestAugment:
 
 
 class TestAugmentReviewRegressions:
+    def test_phase_vocoder_matches_recurrence(self):
+        """The vectorized vocoder must equal the Ellis per-frame recurrence
+        (f64 accumulator) it replaces: interpolated magnitudes bitwise, the
+        unwrapped-phase output to fp tolerance."""
+        rng = np.random.default_rng(0)
+        for shape, rate in [((33, 40), 0.75), ((2, 33, 37), 1.6)]:
+            m = (rng.standard_normal(shape)
+                 + 1j * rng.standard_normal(shape)).astype(np.complex64)
+            got = augment._phase_vocoder(m, rate)
+
+            n_fft = 2 * (m.shape[-2] - 1)
+            hop = n_fft // 4
+            steps = np.arange(0, m.shape[-1], rate, dtype=np.float64)
+            phi = np.linspace(0, np.pi * hop, m.shape[-2])
+            acc = np.angle(m[..., 0]).astype(np.float64)
+            padded = np.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, 2)])
+            want = np.zeros(m.shape[:-1] + (len(steps),), np.complex64)
+            for t, s in enumerate(steps):
+                cols = padded[..., int(s): int(s) + 2]
+                a = s % 1.0
+                mag = (1 - a) * np.abs(cols[..., 0]) + a * np.abs(cols[..., 1])
+                want[..., t] = mag * (np.cos(acc) + 1j * np.sin(acc))
+                d = np.angle(cols[..., 1]) - np.angle(cols[..., 0]) - phi
+                d -= 2 * np.pi * np.round(d / (2 * np.pi))
+                acc = acc + (phi + d)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.abs(got), np.abs(want),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+
+
     def test_drop_freq_is_same_convolution(self):
         import numpy as np
 
