@@ -8,7 +8,10 @@ scheduler:
 - ``lax.scan(..., unroll=k)``: the recursion is T' (~249 at the 1000-frame
   bucket) SEQUENTIAL steps of tiny (B, L) elementwise work — per-step
   overhead dominates. Unrolling k steps per loop iteration amortizes it and
-  lets XLA fuse across steps.
+  lets XLA fuse across steps. unroll=16/32 were probed at the full-step
+  level (round 4) and landed inside the ±3.5 ms variant-order drift even
+  within one process — a reversed-order A/B (8,16,16,8) read 36.6/32.9/
+  36.3/33.1 ms, i.e. position, not unroll, moved the number. 8 stays.
 - no per-step (T, B, L) output stacking: only the final carry is needed for
   the loss, so the scan carries two (B, L) rows instead of materializing
   2 x (T, B, L+1) alpha tensors.
