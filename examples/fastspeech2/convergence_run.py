@@ -48,11 +48,36 @@ MAX_MEL = 320
 
 
 def phone_rules(p: int):
-    """Deterministic per-phone prosody: the learnable ground truth."""
+    """Deterministic per-phone prosody means: the learnable ground truth."""
     dur = 4 + (p * 7) % 8                        # 4..11 frames
     f0 = 110.0 * 2.0 ** (((p * 5) % 13) / 13.0)  # 110..213 Hz
     energy = 0.35 + 0.6 * ((p * 3) % 9) / 8.0    # 0.35..0.95
     return dur, f0, energy
+
+
+# Continuous prosody jitter around the per-phone means (realized values are
+# stored as the pitch/energy targets, like f0 extraction on real speech).
+# This is load-bearing for FREE-RUNNING eval, not decoration: with exactly
+# N_PHONES discrete pitch values, only ~13 of the adaptor's 256 pitch
+# buckets ever receive gradient, so a 3.5 Hz prediction error lands in an
+# adjacent UNTRAINED N(0,1)-random embedding and corrupts that phone's
+# features (measured: 50% bucket mismatch -> free-running MCD 118 dB while
+# gt-pitch/energy inference scored 26 dB). Continuous jitter trains the
+# bucket neighborhoods the predictor actually hits, as real speech does.
+PITCH_JITTER_UTT = 0.02    # per-utterance log2-f0 scale sigma (~1.4%)
+PITCH_JITTER_PHONE = 0.01  # per-phone log2-f0 sigma (~0.7%)
+ENERGY_JITTER = 0.05       # per-phone multiplicative sigma
+
+
+def realize_prosody(rng, phones):
+    """Sample realized per-phone (f0 Hz, energy) around the rule means."""
+    mean_f0 = np.array([phone_rules(int(p))[1] for p in phones])
+    mean_en = np.array([phone_rules(int(p))[2] for p in phones])
+    utt_scale = 2.0 ** rng.normal(0.0, PITCH_JITTER_UTT)
+    f0 = mean_f0 * utt_scale * 2.0 ** rng.normal(
+        0.0, PITCH_JITTER_PHONE, size=len(phones))
+    en = mean_en * (1.0 + rng.normal(0.0, ENERGY_JITTER, size=len(phones)))
+    return f0, np.clip(en, 0.05, 1.2)
 
 
 def phone_envelope(p: int):
@@ -64,11 +89,13 @@ def phone_envelope(p: int):
     return formants, bws, amps
 
 
-def synth_utterance(rng, phones):
-    """Audio for a phone sequence under the deterministic rules."""
+def synth_utterance(rng, phones, f0s=None, energies=None):
+    """Audio for a phone sequence under the rules (+ realized prosody)."""
     chunks = []
-    for p in phones:
+    for j, p in enumerate(phones):
         dur, f0, energy = phone_rules(int(p))
+        if f0s is not None:
+            f0, energy = float(f0s[j]), float(energies[j])
         n = dur * HOP
         t = np.arange(n) / SR
         formants, bws, amps = phone_envelope(int(p))
@@ -106,12 +133,13 @@ def build_corpus(out_dir, n_utts, seed=0, write_wavs=False):
     for i in range(n_utts):
         n_ph = int(rng.integers(8, MAX_PH + 1))
         phones = rng.integers(1, N_PHONES + 1, size=n_ph).astype(np.int32)
-        wav = synth_utterance(rng, phones)
+        f0s, energies = realize_prosody(rng, phones)
+        wav = synth_utterance(rng, phones, f0s, energies)
         durs = np.array([phone_rules(int(p))[0] for p in phones], np.int32)
-        pitch = np.array(
-            [np.log1p(phone_rules(int(p))[1]) for p in phones], np.float32)
-        energy = np.array(
-            [phone_rules(int(p))[2] * 5.0 for p in phones], np.float32)
+        # targets are the REALIZED values, as f0/energy extraction on real
+        # speech would produce — not the rule means
+        pitch = np.log1p(f0s).astype(np.float32)
+        energy = (energies * 5.0).astype(np.float32)
         mel = spectrum.melspectrogram(
             wav[: durs.sum() * HOP], n_fft=N_FFT, hop_length=HOP,
             win_length=N_FFT, n_mels=N_MELS, sample_rate=SR,
@@ -171,14 +199,58 @@ def prepare_wavegrad_corpus(corpus_dir, out_dir):
     print(f"wrote {len(entries)} wavegrad utterances to {out_dir}")
 
 
-def mcd_db(a, b):
-    """MCD-13 (dB) between two aligned log-mel matrices (T, n_mels)."""
+def _cep13(a):
     from scipy.fftpack import dct
 
-    ca = dct(a, type=2, axis=-1, norm="ortho")[:, 1:14]
-    cb = dct(b, type=2, axis=-1, norm="ortho")[:, 1:14]
+    return dct(a, type=2, axis=-1, norm="ortho")[:, 1:14]
+
+
+def mcd_db(a, b):
+    """MCD-13 (dB) between two aligned log-mel matrices (T, n_mels)."""
+    ca, cb = _cep13(a), _cep13(b)
     return float((10.0 / np.log(10.0)) * np.mean(
         np.sqrt(2.0 * np.sum((ca - cb) ** 2, axis=-1))))
+
+
+def mcd_dtw_db(a, b):
+    """DTW-aligned MCD-13 (dB): the standard free-running TTS metric.
+
+    Frame-wise MCD counts every frame a duration error SHIFTS as a full
+    spectral error; aligning with dynamic time warping first (steps
+    (1,0),(0,1),(1,1), path-length-normalized) isolates spectral quality
+    from prosody-induced time drift.
+    """
+    ca, cb = _cep13(a), _cep13(b)
+    # (T1, T2) frame-pair MCD costs
+    d2 = ((ca[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+    cost = (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.maximum(d2, 0.0))
+    t1, t2 = cost.shape
+
+    # anti-diagonal DP (cells on diagonal i+j depend only on the previous
+    # two diagonals), vectorized over each diagonal; `steps` tracks the
+    # chosen path's length for the normalization
+    inf = np.inf
+    prev2 = np.full(t1 + 1, inf)   # accumulated cost on diagonal d-2, by i
+    prev1 = np.full(t1 + 1, inf)   # diagonal d-1
+    s_prev2 = np.zeros(t1 + 1, np.int64)
+    s_prev1 = np.zeros(t1 + 1, np.int64)
+    prev2[0] = 0.0                 # acc[0, 0]
+    for d in range(2, t1 + t2 + 1):
+        cur = np.full(t1 + 1, inf)
+        s_cur = np.zeros(t1 + 1, np.int64)
+        i = np.arange(max(1, d - t2), min(t1, d - 1) + 1)
+        if i.size:
+            cand = np.stack([prev1[i],       # left  (i, j-1)
+                             prev1[i - 1],   # up    (i-1, j)
+                             prev2[i - 1]])  # diag  (i-1, j-1)
+            s_cand = np.stack([s_prev1[i], s_prev1[i - 1], s_prev2[i - 1]])
+            k = np.argmin(cand, axis=0)
+            cols = np.arange(i.size)
+            cur[i] = cost[i - 1, d - i - 1] + cand[k, cols]
+            s_cur[i] = s_cand[k, cols] + 1
+        prev2, prev1 = prev1, cur
+        s_prev2, s_prev1 = s_prev1, s_cur
+    return float(prev1[t1] / s_prev1[t1])
 
 
 def evaluate(cfg, params, dev_names, feature_dir, out_dir,
@@ -203,7 +275,7 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
         pitch_target=pit, energy_target=en, duration_target=dur))
 
     d_mae = d_exact = p_mae = e_mae = mel_l1 = mcd = n_ph_total = 0.0
-    mel_l1_tf = mcd_tf = 0.0
+    mel_l1_tf = mcd_tf = mcd_dtw = p_floor = e_floor = 0.0
     n_utt = 0
     sample = None
     for name in dev_names:
@@ -225,6 +297,12 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
         p_mae += float(np.abs(p_hz_pred - p_hz_gt).sum())
         e_mae += float(np.abs(np.asarray(e_pred[0, :L], np.float64)
                               - s["energy"]).sum())
+        # irreducible floor: text-only inference can at best predict the
+        # per-phone rule MEAN; the target carries the realized jitter
+        mean_f0 = np.array([phone_rules(int(p))[1] for p in s["phonemes"]])
+        mean_en = np.array([phone_rules(int(p))[2] * 5.0 for p in s["phonemes"]])
+        p_floor += float(np.abs(mean_f0 - p_hz_gt).sum())
+        e_floor += float(np.abs(mean_en - s["energy"]).sum())
         n_ph_total += L
 
         t = min(int(mel_len[0]), s["mel"].shape[0], MAX_MEL)
@@ -232,6 +310,11 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
         m_gt = s["mel"][:t].astype(np.float64)
         mel_l1 += float(np.abs(m_pred - m_gt).mean())
         mcd += mcd_db(m_pred, m_gt)
+        # DTW-aligned MCD on the FULL predicted/gt mels: the free-running
+        # spectral metric that doesn't charge duration drift as error
+        t_pred = min(int(mel_len[0]), MAX_MEL)
+        mcd_dtw += mcd_dtw_db(np.asarray(mel[0, :t_pred], np.float64),
+                              s["mel"][:MAX_MEL].astype(np.float64))
 
         # teacher-forced pass: exact frame alignment
         pit = np.zeros((1, cfg.data.max_phoneme_len), np.float32)
@@ -255,9 +338,12 @@ def evaluate(cfg, params, dev_names, feature_dir, out_dir,
         "duration_mae_frames": round(d_mae / n_ph_total, 4),
         "duration_exact_rate": round(d_exact / n_ph_total, 4),
         "pitch_mae_hz": round(p_mae / n_ph_total, 3),
+        "pitch_mae_floor_hz": round(p_floor / n_ph_total, 3),
         "energy_mae": round(e_mae / n_ph_total, 4),
+        "energy_mae_floor": round(e_floor / n_ph_total, 4),
         "mel_l1": round(mel_l1 / n_utt, 4),
         "mcd13_db": round(mcd / n_utt, 3),
+        "mcd13_dtw_db": round(mcd_dtw / n_utt, 3),
         "mel_l1_teacher_forced": round(mel_l1_tf / n_utt, 4),
         "mcd13_db_teacher_forced": round(mcd_tf / n_utt, 3),
     }
