@@ -12,7 +12,13 @@ from __future__ import annotations
 import numpy as np
 import scipy.signal
 
-from .spectrum import amplitude_to_dB, compute_amplitude, dB_to_amplitude, frame
+from .spectrum import (
+    _overlap_add_time_major,
+    amplitude_to_dB,
+    compute_amplitude,
+    dB_to_amplitude,
+    frame,
+)
 
 __all__ = [
     "normalize",
@@ -30,6 +36,16 @@ __all__ = [
     "overlap_and_add",
 ]
 
+# reducers for the scale-type norms (the mean/mean_std types are handled
+# separately — they shift rather than scale)
+_SCALE_NORMS = {
+    "max": lambda a, ax: a.max(axis=ax, keepdims=True),
+    "min": lambda a, ax: a.min(axis=ax, keepdims=True),
+    "l0": lambda a, ax: (a > 0).sum(axis=ax, keepdims=True, dtype=a.dtype),
+    "l1": lambda a, ax: a.sum(axis=ax, keepdims=True),
+    "l2": lambda a, ax: np.sqrt((a * a).sum(axis=ax, keepdims=True)),
+}
+
 
 def normalize(waveforms, norm="max", axis=0):
     """Normalize an array along ``axis``.
@@ -39,51 +55,35 @@ def normalize(waveforms, norm="max", axis=0):
     left untouched. Parity: reference processing.py:28.
     """
     waveforms = np.asarray(waveforms)
-    if np.issubdtype(waveforms.dtype, np.floating) or np.issubdtype(
-        waveforms.dtype, np.complexfloating
-    ):
-        dtype = waveforms.dtype
-    else:
-        dtype = np.float32
-    threshold = np.finfo(dtype).tiny
-
-    mag = np.abs(waveforms).astype(float)
+    inexact = (np.issubdtype(waveforms.dtype, np.floating)
+               or np.issubdtype(waveforms.dtype, np.complexfloating))
+    tiny = np.finfo(waveforms.dtype if inexact else np.float32).tiny
+    absval = np.abs(waveforms).astype(float)
 
     if norm == "mean":
-        return waveforms - np.mean(mag, axis=axis, keepdims=True)
+        return waveforms - absval.mean(axis=axis, keepdims=True)
     if norm == "mean_std":
-        mean = np.mean(mag, axis=axis, keepdims=True)
-        std = np.std(mag, axis=axis, keepdims=True)
-        return (waveforms - mean) / (std + 1e-5)
-    if norm == "max":
-        scale = np.max(mag, axis=axis, keepdims=True)
-    elif norm == "min":
-        scale = np.min(mag, axis=axis, keepdims=True)
-    elif norm == "l0":
-        scale = np.sum(mag > 0, axis=axis, keepdims=True, dtype=mag.dtype)
-    elif norm == "l1":
-        scale = np.sum(mag, axis=axis, keepdims=True)
-    elif norm == "l2":
-        scale = np.sqrt(np.sum(mag**2, axis=axis, keepdims=True))
-    else:
-        raise TypeError(f"Unsupported norm type {norm!r}")
+        shift = absval.mean(axis=axis, keepdims=True)
+        spread = absval.std(axis=axis, keepdims=True)
+        return (waveforms - shift) / (spread + 1e-5)
 
-    scale = np.where(scale < threshold, 1.0, scale)
-    return waveforms / scale
+    try:
+        denom = _SCALE_NORMS[norm](absval, axis)
+    except KeyError:
+        raise TypeError(f"Unsupported norm type {norm!r}") from None
+    return waveforms / np.where(denom < tiny, 1.0, denom)
 
 
 def unitarize(waveforms, lengths=None, amp_type="avg", eps=1e-14):
     """Scale a signal to unit average or peak amplitude (reference processing.py:98)."""
     assert amp_type in ("avg", "peak")
     waveforms = np.asarray(waveforms)
-    batch_added = waveforms.ndim == 1
-    if batch_added:
-        waveforms = np.expand_dims(waveforms, 0)
-    den = compute_amplitude(waveforms, lengths, amp_type) + eps
-    out = waveforms / den  # divide before un-batching: den is (B, 1)
-    if batch_added:
-        out = out.squeeze(0)
-    return out
+    squeeze_back = waveforms.ndim == 1
+    if squeeze_back:
+        waveforms = waveforms[None]
+    level = compute_amplitude(waveforms, lengths, amp_type)
+    scaled = waveforms / (level + eps)  # level is (B, 1): divide pre-squeeze
+    return scaled[0] if squeeze_back else scaled
 
 
 def resample(
@@ -106,10 +106,11 @@ def resample(
         return waveform
 
     if res_type in ("scipy", "fft"):
-        ratio = float(new_freq) / orig_freq
-        n_samples = int(np.ceil(waveform.shape[-1] * ratio))
-        y = scipy.signal.resample(waveform, n_samples, axis=-1)
-        return np.asarray(y, dtype=waveform.dtype)
+        # float-ceil like the reference (processing.py:176): frame-count
+        # parity matters more than exact-integer arithmetic here
+        n_out = int(np.ceil(waveform.shape[-1] * (float(new_freq) / orig_freq)))
+        res = scipy.signal.resample(waveform, n_out, axis=-1)
+        return np.asarray(res, dtype=waveform.dtype)
 
     # Kaiser-windowed sinc interpolation (torchaudio "kaiser_window" method).
     from math import gcd
@@ -158,38 +159,37 @@ def rescale(waveforms, target_lvl, lengths=None, amp_type="avg", dB=False):
     # the reference advertises "max" but its unitarize only accepts
     # avg/peak, so "max" crashes there (processing.py:212 vs :118); here it
     # aliases to "peak" (the evident intent: normalize by the maximum)
-    if amp_type == "max":
-        amp_type = "peak"
+    kind = "peak" if amp_type == "max" else amp_type
     waveforms = np.asarray(waveforms)
-    batch_added = waveforms.ndim == 1
-    if batch_added:
-        waveforms = np.expand_dims(waveforms, 0)
+    squeeze_back = waveforms.ndim == 1
+    if squeeze_back:
+        waveforms = waveforms[None]
 
-    out = unitarize(waveforms, lengths=lengths, amp_type=amp_type)
-    if dB:
-        out = dB_to_amplitude(np.array(target_lvl), ref=1.0, power=0.5) * out
-    else:
-        out = target_lvl * out
-
-    if batch_added:
-        out = out.squeeze(0)
-    return out
+    gain = (dB_to_amplitude(np.array(target_lvl), ref=1.0, power=0.5)
+            if dB else target_lvl)
+    leveled = gain * unitarize(waveforms, lengths=lengths, amp_type=kind)
+    return leveled[0] if squeeze_back else leveled
 
 
 def stereo_to_mono(waveforms):
     """Average channels (last axis) into mono (reference processing.py:235)."""
     waveforms = np.asarray(waveforms)
-    if waveforms.ndim > 1:
-        waveforms = np.mean(waveforms, axis=-1)
-    return waveforms
+    return waveforms.mean(axis=-1) if waveforms.ndim > 1 else waveforms
 
 
 def _frame_energy_db(waveforms, reference, frame_length, hop_length):
-    mono = stereo_to_mono(waveforms)
-    mono = np.pad(mono, frame_length // 2)
-    x = frame(mono, frame_length=frame_length, hop_length=hop_length)
-    power = np.mean(np.abs(x) ** 2, axis=0)
+    mono = np.pad(stereo_to_mono(waveforms), frame_length // 2)
+    blocks = frame(mono, frame_length=frame_length, hop_length=hop_length)
+    power = (np.abs(blocks) ** 2).mean(axis=0)
     return amplitude_to_dB(power, ref=reference, top_db=None)
+
+
+def _activity(waveforms, top_db, reference, frame_length, hop_length):
+    """Per-frame boolean voice-activity mask + its transition indices."""
+    energy = _frame_energy_db(waveforms, reference, frame_length, hop_length)
+    active = energy > -top_db
+    flips = np.flatnonzero(np.diff(active.astype(int))) + 1
+    return active, flips
 
 
 def trim(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=512):
@@ -199,18 +199,17 @@ def trim(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=5
     of the non-silent region. Parity: reference processing.py:263.
     """
     waveforms = np.asarray(waveforms)
-    non_silent = _frame_energy_db(waveforms, reference, frame_length, hop_length) > -top_db
-    if not non_silent.any():
-        # entirely silent (librosa returns an empty trim; indexing edges[0]
+    active, flips = _activity(waveforms, top_db, reference,
+                              frame_length, hop_length)
+    if not active.any():
+        # entirely silent (librosa returns an empty trim; indexing flips[0]
         # on the empty transition list would IndexError)
-        index = np.array([0, 0])
-        return waveforms[:0], index
-    edges = np.flatnonzero(np.diff(non_silent.astype(int))) + 1
+        return waveforms[:0], np.array([0, 0])
 
-    start = 0 if non_silent[0] else edges[0]
-    end = len(non_silent) if non_silent[-1] else edges[-1]
-    index = np.array([start, end]) * hop_length
-    return waveforms[index[0] : index[1]], index
+    first = 0 if active[0] else flips[0]
+    last = len(active) if active[-1] else flips[-1]
+    bounds = hop_length * np.array([first, last])
+    return waveforms[bounds[0]: bounds[1]], bounds
 
 
 def split(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=512):
@@ -219,15 +218,15 @@ def split(waveforms, top_db=60, reference=np.max, frame_length=2048, hop_length=
     Parity: reference processing.py:322.
     """
     waveforms = np.asarray(waveforms)
-    non_silent = _frame_energy_db(waveforms, reference, frame_length, hop_length) > -top_db
-    edges = [np.flatnonzero(np.diff(non_silent.astype(int))) + 1]
-    if non_silent[0]:
-        edges.insert(0, [0])
-    if non_silent[-1]:
-        edges.append([len(non_silent)])
-    edges = np.concatenate(edges) * hop_length
-    edges = np.minimum(edges, waveforms.shape[-1])
-    return edges.reshape((-1, 2))
+    active, flips = _activity(waveforms, top_db, reference,
+                              frame_length, hop_length)
+    pieces = [flips]
+    if active[0]:
+        pieces.insert(0, [0])
+    if active[-1]:
+        pieces.append([len(active)])
+    bounds = hop_length * np.concatenate(pieces)
+    return np.minimum(bounds, waveforms.shape[-1]).reshape((-1, 2))
 
 
 def sliding_window_cmn(x, cmn_window=600, min_cmn_window=100, center=False, norm_vars=False):
@@ -282,17 +281,17 @@ def invert_channels(waveform):
     """
     waveform = np.asarray(waveform)
     if waveform.ndim > 1:
-        col = waveform.shape[1] - 1
-        waveform[:, [0, col]] = waveform[:, [col, 0]]
+        ends = [0, waveform.shape[1] - 1]
+        waveform[:, ends] = waveform[:, ends[::-1]]
     return waveform
 
 
 def loop(waveform, times):
     """Concatenate the signal with itself ``times`` times along axis 0."""
     waveform = np.asarray(waveform)
-    if times > 1:
-        waveform = np.concatenate([waveform] * times, axis=0)
-    return waveform
+    if times <= 1:
+        return waveform
+    return np.concatenate([waveform] * times, axis=0)
 
 
 def clip(waveform, offset_factor, duration_factor):
@@ -301,13 +300,12 @@ def clip(waveform, offset_factor, duration_factor):
     Parity: reference processing.py:462.
     """
     waveform = np.asarray(waveform)
-    if offset_factor + duration_factor < 0.0 or offset_factor + duration_factor > 1.0:
+    stop_factor = offset_factor + duration_factor
+    if not 0.0 <= stop_factor <= 1.0:
         print("Combination of offset and duration factors exceed audio length.")
         return waveform
     n = waveform.shape[0]
-    start = int(offset_factor * n)
-    end = int((offset_factor + duration_factor) * n)
-    return waveform[start:end, ...]
+    return waveform[int(offset_factor * n): int(stop_factor * n), ...]
 
 
 def insert_in_background(waveform, offset_factor, background_audio):
@@ -317,25 +315,25 @@ def insert_in_background(waveform, offset_factor, background_audio):
     of mismatched backgrounds).
     """
     waveform = np.asarray(waveform)
-    if offset_factor < 0.0 or offset_factor > 1.0:
+    if not 0.0 <= offset_factor <= 1.0:
         print("Offset factor number exceed range [0, 1].")
         return waveform
 
-    num_channels = 1 if waveform.ndim == 1 else waveform.shape[1]
+    channels = 1 if waveform.ndim == 1 else waveform.shape[1]
     if background_audio is None:
-        background_audio = np.random.standard_normal(waveform.shape)
+        bg = np.random.standard_normal(waveform.shape)
     else:
-        background_audio = np.asarray(background_audio)
-        bg_channels = 1 if background_audio.ndim == 1 else background_audio.shape[1]
-        if bg_channels != num_channels:
-            background_audio = stereo_to_mono(background_audio)
-            if num_channels > 1:
-                background_audio = np.tile(background_audio[:, None], (1, num_channels))
+        bg = np.asarray(background_audio)
+        bg_channels = 1 if bg.ndim == 1 else bg.shape[1]
+        if bg_channels != channels:
+            bg = stereo_to_mono(bg)
+            if channels > 1:
+                bg = np.tile(bg[:, None], (1, channels))
 
-    offset = int(offset_factor * background_audio.shape[0])
-    if num_channels > 1:
-        return np.vstack([background_audio[:offset, ...], waveform, background_audio[:offset, ...]])
-    return np.hstack([background_audio[..., :offset], waveform, background_audio[..., :offset]])
+    head = bg[:int(offset_factor * bg.shape[0])] if channels > 1 else \
+        bg[..., :int(offset_factor * bg.shape[0])]
+    join = np.vstack if channels > 1 else np.hstack
+    return join([head, waveform, head])
 
 
 def overlap_and_add(signal, frame_step):
@@ -343,15 +341,13 @@ def overlap_and_add(signal, frame_step):
     ``(..., (frames - 1) * frame_step + frame_length)``.
 
     Pure NumPy replacement for the reference's MindSpore ``index_add`` GCD
-    trick (processing.py:547-593); the jittable device version is
+    trick (processing.py:547-593), sharing the hop-strided residue-class
+    scatter with ``spectrum.overlap_add``; the jittable device version is
     ``mindaudio_tpu.ops.overlap_and_add``.
     """
     signal = np.asarray(signal)
-    outer = signal.shape[:-2]
     frames, frame_length = signal.shape[-2:]
-    output_size = frame_step * (frames - 1) + frame_length
-    out = np.zeros(outer + (output_size,), dtype=np.float32)
-    for t in range(frames):
-        s = t * frame_step
-        out[..., s : s + frame_length] += signal[..., t, :]
-    return out
+    total = frame_step * (frames - 1) + frame_length
+    buf = np.zeros(signal.shape[:-2] + (total,), dtype=np.float32)
+    _overlap_add_time_major(buf, signal, frame_step)
+    return buf

@@ -46,26 +46,26 @@ def amplitude_to_dB(wavform, stype="power", ref=1.0, amin=1e-10, top_db=80.0):
         amin: lower clamp before the log.
         top_db: dynamic-range floor in dB; ``None`` disables.
     """
-    magnitude = np.asarray(wavform)
-    if np.issubdtype(magnitude.dtype, np.complexfloating):
+    spec = np.asarray(wavform)
+    if np.iscomplexobj(spec):
         raise UserWarning(
             "amplitude_to_dB was called on complex input; "
             "call amplitude_to_dB(np.abs(D)**2) instead."
         )
 
-    mult = 10.0 if stype == "power" else 20.0
-    ref_value = ref(magnitude) if callable(ref) else np.abs(ref)
-    db = mult * np.log10(np.maximum(magnitude, amin))
-    db -= mult * np.log10(max(amin, ref_value))
+    scale = {"power": 10.0}.get(stype, 20.0)
+    ref_val = float(ref(spec)) if callable(ref) else abs(ref)
+    out = scale * np.log10(np.clip(spec, amin, None))
+    out -= scale * np.log10(amin if amin > ref_val else ref_val)
+    if top_db is None:
+        return out
 
-    if top_db is not None:
-        # one floor per batch element: collapse everything above the last
-        # three dims (channels stay grouped with their element)
-        batched = (db.reshape((-1,) + db.shape[-3:]) if db.ndim > 2
-                   else db[None])
-        floor = batched.max(axis=tuple(range(1, batched.ndim)), keepdims=True)
-        db = np.maximum(batched, floor - top_db).reshape(db.shape)
-    return db
+    # one dynamic-range floor per batch element: fold every axis above the
+    # trailing (channel?, freq, time) group into one flat batch axis
+    group = out.shape[-3:] if out.ndim > 2 else out.shape
+    flat = out.reshape((-1,) + group)
+    per_elem_max = flat.max(axis=tuple(range(1, flat.ndim)), keepdims=True)
+    return np.maximum(flat, per_elem_max - top_db).reshape(out.shape)
 
 
 def dB_to_amplitude(wavform, ref, power):
@@ -74,8 +74,8 @@ def dB_to_amplitude(wavform, ref, power):
     ``power=1`` recovers a power spectrogram, ``power=0.5`` an amplitude one.
     Parity: reference spectrum.py:93.
     """
-    ref_value = ref(wavform) if callable(ref) else np.abs(ref)
-    return ref_value * np.power(np.power(10.0, 0.1 * np.asarray(wavform)), power)
+    gain = ref(wavform) if callable(ref) else abs(ref)
+    return gain * 10.0 ** (np.asarray(wavform) * (0.1 * power))
 
 
 def frame(x, frame_length=2048, hop_length=64):
@@ -87,10 +87,22 @@ def frame(x, frame_length=2048, hop_length=64):
     if hop_length < 1:
         raise ValueError(f"Invalid hop_length: {hop_length}")
     x = np.asarray(x)
-    n_frames = (x.shape[-1] - frame_length) // hop_length + 1
-    # (..., n_frames, frame_length) strided view, then put frame axis last.
-    windows = np.lib.stride_tricks.sliding_window_view(x, frame_length, axis=-1)
-    return np.swapaxes(windows[..., ::hop_length, :][..., :n_frames, :], -1, -2)
+    total = (x.shape[-1] - frame_length) // hop_length + 1
+    # (..., total, frame_length) strided view, then put the frame axis last.
+    view = np.lib.stride_tricks.sliding_window_view(x, frame_length, axis=-1)
+    return np.swapaxes(view[..., ::hop_length, :][..., :total, :], -1, -2)
+
+
+def _hop_slices(signal, size, hop):
+    """Strided ``(..., n, size)`` view of hop-spaced windows (no copy)."""
+    view = np.lib.stride_tricks.sliding_window_view(signal, size, axis=-1)
+    n = (signal.shape[-1] - size) // hop + 1
+    return view[..., ::hop, :][..., :n, :]
+
+
+def _center_pad(signal, margin, mode):
+    widths = [(0, 0)] * (signal.ndim - 1) + [(margin, margin)]
+    return np.pad(signal, widths, mode=mode)
 
 
 def stft(
@@ -121,20 +133,14 @@ def stft(
         float stack). Parity: reference spectrum.py:125.
     """
     waveforms = np.asarray(waveforms)
-    if win_length is None:
-        win_length = n_fft
-    if hop_length is None:
-        hop_length = win_length // 4
+    win_length = n_fft if win_length is None else win_length
+    hop_length = win_length // 4 if hop_length is None else hop_length
 
-    fft_window = get_window(window, win_length, fftbins=True)
-    fft_window = _pad_center(fft_window, n_fft)
-
+    win = _pad_center(get_window(window, win_length, fftbins=True), n_fft)
     if center:
-        padding = [(0, 0)] * waveforms.ndim
-        padding[-1] = (n_fft // 2, n_fft // 2)
-        waveforms = np.pad(waveforms, padding, mode=pad_mode)
+        waveforms = _center_pad(waveforms, n_fft // 2, pad_mode)
 
-    # check AFTER center padding: librosa-convention centered analysis pads
+    # checked AFTER center padding: librosa-convention centered analysis pads
     # a short clip up to a full frame (e.g. features.harmonic's n_fft=2048
     # on sub-0.13 s audio) and must succeed
     if n_fft > waveforms.shape[-1]:
@@ -143,16 +149,10 @@ def stft(
             f"length={waveforms.shape[-1]}"
         )
 
-    frames = np.lib.stride_tricks.sliding_window_view(waveforms, n_fft, axis=-1)
-    n_frames = (waveforms.shape[-1] - n_fft) // hop_length + 1
-    frames = frames[..., ::hop_length, :][..., :n_frames, :]  # (..., n_frames, n_fft)
-
-    stft_matrix = np.fft.rfft(frames * fft_window, axis=-1).astype(np.complex64)
-    stft_matrix = np.swapaxes(stft_matrix, -1, -2)  # (..., freq, n_frames)
-
-    if return_complex:
-        return stft_matrix
-    return np.stack((stft_matrix.real, stft_matrix.imag), -1)
+    segs = _hop_slices(waveforms, n_fft, hop_length)
+    out = np.fft.rfft(segs * win, axis=-1).astype(np.complex64)
+    out = np.swapaxes(out, -1, -2)  # (..., freq, n_frames)
+    return out if return_complex else np.stack((out.real, out.imag), -1)
 
 
 def overlap_add(output_buffer, frames, hop_length):
@@ -215,48 +215,42 @@ def istft(
     edge effects), as asserted by tests. Parity: reference spectrum.py:346.
     """
     stft_matrix = np.asarray(stft_matrix)
-    if n_fft is None:
-        n_fft = 2 * (stft_matrix.shape[-2] - 1)
-    if win_length is None:
-        win_length = n_fft
-    if hop_length is None:
-        hop_length = win_length // 4
+    n_fft = 2 * (stft_matrix.shape[-2] - 1) if n_fft is None else n_fft
+    win_length = n_fft if win_length is None else win_length
+    hop_length = win_length // 4 if hop_length is None else hop_length
 
-    ifft_window = _pad_center(get_window(window, win_length, fftbins=True), n_fft)
+    synth_win = _pad_center(get_window(window, win_length, fftbins=True), n_fft)
 
+    total = stft_matrix.shape[-1]
     if length:
-        padded_length = length + n_fft if center else length
-        n_frames = min(stft_matrix.shape[-1], int(np.ceil(padded_length / hop_length)))
-    else:
-        n_frames = stft_matrix.shape[-1]
+        span = length + n_fft if center else length
+        total = min(total, -(-span // hop_length))
 
-    expected_len = n_fft + hop_length * (n_frames - 1)
-    y = np.zeros(stft_matrix.shape[:-2] + (expected_len,), dtype=np.float64)
+    buf_len = n_fft + hop_length * (total - 1)
+    signal = np.zeros(stft_matrix.shape[:-2] + (buf_len,), dtype=np.float64)
 
-    # time-major (..., n_frames, n_fft) windowed inverse frames: the irfft,
+    # time-major (..., total, n_fft) windowed inverse frames: the irfft,
     # the window broadcast, and the overlap-add scatter all run on the
     # contiguous last axis
-    ytmp = np.fft.irfft(
-        np.swapaxes(stft_matrix[..., :n_frames], -1, -2), n=n_fft, axis=-1
-    ) * ifft_window
-    _overlap_add_time_major(y, ytmp, hop_length)
+    inv = np.fft.irfft(
+        np.swapaxes(stft_matrix[..., :total], -1, -2), n=n_fft, axis=-1
+    ) * synth_win
+    _overlap_add_time_major(signal, inv, hop_length)
 
-    win_sumsq = _window_sumsquare(
+    envelope = _window_sumsquare(
         window=window,
-        n_frames=n_frames,
+        n_frames=total,
         win_length=win_length,
         n_fft=n_fft,
         hop_length=hop_length,
     )
-    nonzero = win_sumsq > 1e-9
-    y[..., nonzero] /= win_sumsq[nonzero]
+    live = envelope > 1e-9
+    signal[..., live] /= envelope[live]
 
+    margin = n_fft // 2 if center else 0
     if length is None:
-        if center:
-            y = y[..., n_fft // 2 : -(n_fft // 2)]
-        return y
-    start = n_fft // 2 if center else 0
-    return _fix_length(y[..., start:], length)
+        return signal[..., margin: buf_len - margin] if center else signal
+    return _fix_length(signal[..., margin:], length)
 
 
 def _window_sumsquare(window, n_frames, win_length, n_fft, hop_length):
@@ -300,14 +294,15 @@ def compute_amplitude(waveforms, lengths=None, amp_type="avg", dB=False):
     """
     if amp_type not in ("avg", "peak"):
         raise TypeError(f"Unsupported amplitude type {amp_type!r}")
-    mag = np.abs(np.atleast_2d(np.asarray(waveforms)))
+    absx = np.abs(np.atleast_2d(np.asarray(waveforms)))
     if amp_type == "peak":
-        amp = mag.max(axis=1, keepdims=True)
-    elif lengths is None:
-        amp = mag.mean(axis=1, keepdims=True)
+        level = absx.max(1, keepdims=True)
     else:
-        amp = mag.sum(axis=1, keepdims=True) / lengths
-    return np.maximum(20 * np.log10(amp), -80.0) if dB else amp
+        level = absx.sum(1, keepdims=True)
+        level /= absx.shape[1] if lengths is None else lengths
+    if not dB:
+        return level
+    return np.clip(20 * np.log10(level), -80.0, None)
 
 
 def spectrogram(
@@ -341,42 +336,26 @@ def spectrogram(
     Returns:
         float32 array ``(..., freq, time)``.
     """
-    waveforms = np.asarray(waveforms, dtype=np.float64)
-    if win_length is None:
-        win_length = n_fft
-    if hop_length is None:
-        hop_length = win_length // 2
+    signal = np.asarray(waveforms, dtype=np.float64)
+    win_length = n_fft if win_length is None else win_length
+    hop_length = win_length // 2 if hop_length is None else hop_length
 
     if pad > 0:
-        padding = [(0, 0)] * waveforms.ndim
-        padding[-1] = (pad, pad)
-        waveforms = np.pad(waveforms, padding)
-
-    w = _pad_center(get_window(window, win_length, fftbins=True), n_fft)
-
+        signal = _center_pad(signal, pad, "constant")
+    win = _pad_center(get_window(window, win_length, fftbins=True), n_fft)
     if center:
-        padding = [(0, 0)] * waveforms.ndim
-        padding[-1] = (n_fft // 2, n_fft // 2)
-        waveforms = np.pad(waveforms, padding, mode=pad_mode)
+        signal = _center_pad(signal, n_fft // 2, pad_mode)
 
-    frames = np.lib.stride_tricks.sliding_window_view(waveforms, n_fft, axis=-1)
-    n_frames = (waveforms.shape[-1] - n_fft) // hop_length + 1
-    frames = frames[..., ::hop_length, :][..., :n_frames, :]
-
-    if onesided:
-        spec = np.fft.rfft(frames * w, axis=-1)
-    else:
-        spec = np.fft.fft(frames * w, axis=-1)
-    spec = np.swapaxes(spec, -1, -2)  # (..., freq, time)
+    segs = _hop_slices(signal, n_fft, hop_length)
+    transform = np.fft.rfft if onesided else np.fft.fft
+    out = np.swapaxes(transform(segs * win, axis=-1), -1, -2)  # (..., f, t)
 
     if normalized:
-        spec = spec / np.sqrt(np.sum(w**2))
+        out = out / np.sqrt(np.square(win).sum())
     if power is None:
-        return spec.astype(np.complex64)
-    out = np.abs(spec)
-    if power != 1.0:
-        out = out**power
-    return out.astype(np.float32)
+        return out.astype(np.complex64)
+    mag = np.abs(out)
+    return (mag if power == 1.0 else mag**power).astype(np.float32)
 
 
 def melscale(
@@ -398,20 +377,17 @@ def melscale(
 
     Parity: reference spectrum.py:738 (delegating to ``msaudio.MelScale``).
     """
-    f_max = f_max if f_max is not None else sample_rate // 2
-    norm = None if norm in (None, "none") else norm
-    fb = melscale_fbanks(
+    banks = melscale_fbanks(
         n_freqs=n_stft,
         f_min=f_min,
-        f_max=f_max,
+        f_max=sample_rate // 2 if f_max is None else f_max,
         n_mels=n_mels,
         sample_rate=sample_rate,
-        norm=norm,
+        norm=None if norm in (None, "none") else norm,
         mel_scale=mel_type,
     )
-    spec = np.asarray(spec)
-    out = np.swapaxes(np.swapaxes(spec, -1, -2) @ fb, -1, -2)
-    return out.astype(np.float32)
+    projected = np.einsum("...ft,fm->...mt", np.asarray(spec), banks)
+    return projected.astype(np.float32)
 
 
 def melspectrogram(
@@ -438,31 +414,30 @@ def melspectrogram(
     Parity: reference spectrum.py:609. The fused on-device equivalent is
     ``mindaudio_tpu.ops.melspectrogram``.
     """
-    win_length = win_length if win_length is not None else n_fft
-    hop_length = hop_length if hop_length is not None else win_length // 2
-    spec = spectrogram(
-        waveforms,
-        n_fft=n_fft,
-        win_length=win_length,
-        hop_length=hop_length,
-        pad=pad,
-        window=window,
-        power=power,
-        normalized=normalized,
-        center=center,
-        pad_mode=pad_mode,
-        onesided=onesided,
-    )
-    return melscale(
-        spec,
-        n_mels=n_mels,
-        sample_rate=sample_rate,
-        f_min=f_min,
-        f_max=f_max,
-        n_stft=n_fft // 2 + 1,
-        norm=norm,
-        mel_type=mel_type,
-    )
+    analysis = {
+        "n_fft": n_fft,
+        "win_length": n_fft if win_length is None else win_length,
+        "hop_length": hop_length,
+        "pad": pad,
+        "window": window,
+        "power": power,
+        "normalized": normalized,
+        "center": center,
+        "pad_mode": pad_mode,
+        "onesided": onesided,
+    }
+    if analysis["hop_length"] is None:
+        analysis["hop_length"] = analysis["win_length"] // 2
+    projection = {
+        "n_mels": n_mels,
+        "sample_rate": sample_rate,
+        "f_min": f_min,
+        "f_max": f_max,
+        "n_stft": n_fft // 2 + 1,
+        "norm": norm,
+        "mel_type": mel_type,
+    }
+    return melscale(spectrogram(waveforms, **analysis), **projection)
 
 
 def magphase(waveform, power, iscomplex=True):
@@ -474,18 +449,16 @@ def magphase(waveform, power, iscomplex=True):
     magnitude. Parity: reference spectrum.py:701.
     """
     if iscomplex:
-        waveform = np.asarray(waveform)
-        mag = np.abs(waveform)
-        zeros = mag == 0
-        mag_nonzero = mag + zeros
-        phase = np.empty(waveform.shape, dtype=np.complex64)
-        phase.real = waveform.real / mag_nonzero + zeros
-        phase.imag = waveform.imag / mag_nonzero
-        return mag**power, phase
-    real, imag = np.asarray(waveform)[..., 0], np.asarray(waveform)[..., 1]
-    mag = np.sqrt(real**2 + imag**2) ** power
-    phase = np.arctan2(imag, real)
-    return mag.astype(np.float32), phase.astype(np.float32)
+        cspec = np.asarray(waveform)
+        absS = np.abs(cspec)
+        dead = absS == 0
+        unit = (cspec / (absS + dead)).astype(np.complex64)
+        unit += dead  # zero bins -> exactly 1+0j
+        return absS**power, unit
+    ri = np.asarray(waveform)
+    absS = np.hypot(ri[..., 0], ri[..., 1]) ** power
+    return (absS.astype(np.float32),
+            np.arctan2(ri[..., 1], ri[..., 0]).astype(np.float32))
 
 
 def resynthesize(enhanced_mag, noisy_inputs, normalize_wavs=True):
@@ -493,13 +466,12 @@ def resynthesize(enhanced_mag, noisy_inputs, normalize_wavs=True):
 
     Parity: reference spectrum.py:777.
     """
-    noisy_feats = stft(noisy_inputs, return_complex=False)
-    noisy_phase = np.arctan2(noisy_feats[..., 1], noisy_feats[..., 0])
-    complex_spec = enhanced_mag * (np.cos(noisy_phase) + 1j * np.sin(noisy_phase))
-    pred_wavs = istft(complex_spec)
+    ri = stft(noisy_inputs, return_complex=False)
+    angle = np.arctan2(ri[..., 1], ri[..., 0])
+    recon = istft(enhanced_mag * np.exp(1j * angle))
 
-    if normalize_wavs:
-        from .processing import normalize
+    if not normalize_wavs:
+        return recon
+    from .processing import normalize
 
-        pred_wavs = normalize(pred_wavs, norm="max")
-    return pred_wavs
+    return normalize(recon, norm="max")

@@ -19,6 +19,17 @@ scheduler:
 ``tests/test_train_infra.py`` asserts value+grad equality vs optax.
 Interface: time-major-free, batched, mask-aware, mean over batch like the
 reference's ``reduction='mean'``.
+
+On TPU the scan is not the performance path: ``impl="auto"`` (the default
+on both entry points) routes to the Pallas DP kernel
+(``ops.pallas_ctc.ctc_per_seq_loss_pallas`` — the whole T-step recursion
+runs inside one kernel with the alpha row in VMEM) when the backend is
+TPU, and keeps the scan on CPU, exactly as the reference gets its CTC DP
+from the native ``ops.CTCLossV2`` kernel. Value/grad equality of the two
+paths is asserted in ``tests/test_pallas_ctc.py``. Caveat: under plain
+GSPMD pjit the pallas_call is an opaque custom call (XLA gathers its
+operands); the flagship recipe's data-parallel step is unaffected on one
+chip, and per-shard tracing under ``shard_map`` runs the kernel locally.
 """
 
 from __future__ import annotations
@@ -31,9 +42,32 @@ __all__ = ["ctc_loss", "ctc_per_seq_loss"]
 _LOG_EPS = -1e5
 
 
+def _use_pallas(impl):
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "pallas"
+
+
 def ctc_per_seq_loss(logits, logit_lengths, labels, label_lengths,
-                     blank_id=0, unroll=8):
-    """Per-sequence CTC negative log-likelihood, ``(B,)``."""
+                     blank_id=0, unroll=8, impl="auto"):
+    """Per-sequence CTC negative log-likelihood, ``(B,)``.
+
+    ``impl``: "auto" (Pallas kernel on TPU, scan elsewhere), "scan", or
+    "pallas".
+    """
+    if _use_pallas(impl):
+        from mindaudio_tpu.ops.pallas_ctc import ctc_per_seq_loss_pallas
+
+        return ctc_per_seq_loss_pallas(
+            logits, logit_lengths, labels, label_lengths, blank_id=blank_id)
+    return _ctc_per_seq_loss_scan(logits, logit_lengths, labels,
+                                  label_lengths, blank_id=blank_id,
+                                  unroll=unroll)
+
+
+def _ctc_per_seq_loss_scan(logits, logit_lengths, labels, label_lengths,
+                           blank_id=0, unroll=8):
+    """The ``lax.scan`` recursion (CPU/equality path)."""
     b, t, num_classes = logits.shape
     n = labels.shape[1]
     logit_pads = (jnp.arange(t)[None, :] >= logit_lengths[:, None]).astype(
@@ -88,7 +122,7 @@ def ctc_per_seq_loss(logits, logit_lengths, labels, label_lengths,
 
 
 def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=0,
-             unroll=8):
+             unroll=8, impl="auto"):
     """Mean CTC negative log-likelihood.
 
     Args:
@@ -100,10 +134,13 @@ def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=0,
         label_lengths: ``(B,)`` target lengths.
         blank_id: CTC blank index (reference uses 0 for DS2, vocab-1 option for
             Conformer via config).
-        unroll: scan steps fused per loop iteration (TPU scheduling lever).
+        unroll: scan steps fused per loop iteration (scan path only).
+        impl: "auto" (Pallas DP kernel on TPU, scan elsewhere), "scan", or
+            "pallas".
 
     Returns:
         scalar mean loss over the batch.
     """
     return ctc_per_seq_loss(logits, logit_lengths, labels, label_lengths,
-                            blank_id=blank_id, unroll=unroll).mean()
+                            blank_id=blank_id, unroll=unroll,
+                            impl=impl).mean()

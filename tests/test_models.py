@@ -52,6 +52,59 @@ class TestConformer:
         assert np.isfinite(float(ls)) and float(ls) > 0
 
 
+class TestLabelSmoothing:
+    @staticmethod
+    def _dense(logits, targets, smoothing=0.1, ignore_id=-1,
+               normalize_length=False):
+        """The materialized one-hot formulation (reference
+        label_smoothing_loss.py:24 semantics) the gather form must equal."""
+        vocab = logits.shape[-1]
+        confidence = 1.0 - smoothing
+        low = smoothing / (vocab - 1)
+        mask = targets != ignore_id
+        safe_t = jnp.where(mask, targets, 0)
+        true_dist = jax.nn.one_hot(safe_t, vocab) * (confidence - low) + low
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        kl = (true_dist * (jnp.log(jnp.maximum(true_dist, 1e-10))
+                           - log_probs)).sum(-1)
+        kl = jnp.where(mask, kl, 0.0)
+        denom = (jnp.maximum(mask.sum(), 1) if normalize_length
+                 else targets.shape[0])
+        return kl.sum() / denom
+
+    def test_gather_form_equals_dense(self, rng):
+        """The analytic gather form (no (B,L,V) one-hot materialized) must
+        match the dense KL in value AND gradient."""
+        from mindaudio_tpu.loss import label_smoothing_loss
+
+        logits = jax.random.normal(rng, (3, 7, 101))
+        tgt = jnp.array([[1, 2, 3, 4, 5, -1, -1],
+                         [9, 8, -1, -1, -1, -1, -1],
+                         [100, 0, 55, 7, 7, 7, 6]])
+        for norm_len in (False, True):
+            for smoothing in (0.1, 0.0, 0.4):
+                want_v, want_g = jax.value_and_grad(
+                    lambda lg: self._dense(lg, tgt, smoothing=smoothing,
+                                           normalize_length=norm_len))(logits)
+                got_v, got_g = jax.value_and_grad(
+                    lambda lg: label_smoothing_loss(
+                        lg, tgt, smoothing=smoothing,
+                        normalize_length=norm_len))(logits)
+                np.testing.assert_allclose(float(got_v), float(want_v),
+                                           rtol=1e-5)
+                np.testing.assert_allclose(np.asarray(got_g),
+                                           np.asarray(want_g),
+                                           rtol=1e-4, atol=1e-6)
+
+    def test_bf16_logits(self, rng):
+        from mindaudio_tpu.loss import label_smoothing_loss
+
+        logits = jax.random.normal(rng, (2, 5, 64)).astype(jnp.bfloat16)
+        tgt = jnp.array([[1, 2, 3, -1, -1], [4, 5, 6, 7, 8]])
+        v = label_smoothing_loss(logits, tgt)
+        assert np.isfinite(float(v)) and float(v) > 0
+
+
 class TestDeepSpeech2:
     def test_forward(self, rng):
         from mindaudio_tpu.models import DeepSpeechModel
