@@ -72,7 +72,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--train_log", default="")
-    ap.add_argument("--n_utts", type=int, default=4)
+    ap.add_argument("--n_utts", type=int, default=32)
     ap.add_argument("--seed", type=int, default=777,
                     help="fresh corpus seed: held-out utterances")
     args = ap.parse_args()
@@ -105,42 +105,59 @@ def main():
     def apply_fn(p, mel_b, audio, scale):
         return wg.apply({"params": p}, mel_b, audio, scale)
 
+    # synthesize the full held-out set (mix of 8-16-phone lengths), then run
+    # EACH sampler ONCE over the whole batch: mels are padded to the longest
+    # utterance with the corpus silence level (mel of digital silence — the
+    # vocoder is convolutional, so pad frames only touch the trimmed tail),
+    # so the 1000-step scan compiles once instead of once per utterance shape
     rng = np.random.default_rng(args.seed)
-    rows = []
+    utts = []
     for i in range(args.n_utts):
         n_ph = int(rng.integers(8, 17))
         phones = rng.integers(1, 41, size=n_ph).astype(np.int32)
         wav = synth_utterance(rng, phones)
         n_frames = len(wav) // HOP
-        mel_gt = analyze_mel(wav, n_frames)
+        utts.append((n_frames, analyze_mel(wav, n_frames)))
+    t_max = max(n for n, _ in utts)
+    pad_val = float(fs2_mel_to_wavegrad(np.log(1e-5)))
+    mel_batch = np.full((len(utts), t_max, utts[0][1].shape[1]), pad_val,
+                        np.float32)
+    for i, (n_frames, mel) in enumerate(utts):
+        mel_batch[i, :n_frames] = mel
 
-        row = {"utt": i, "frames": n_frames}
-        for tag, betas in (("1000step", default_noise_schedule()),
-                           ("fast6", fast_noise_schedule())):
-            audio = np.asarray(reverse_diffusion(
-                params, apply_fn, jnp.asarray(mel_gt[None], jnp.float32),
-                jax.random.PRNGKey(i), betas=betas, hop=HOP,
-            )[0], np.float32)
-            mel_rt = analyze_mel(audio, n_frames)
-            row[f"mel_l1_{tag}"] = round(
+    rows = [{"utt": i, "frames": n} for i, (n, _) in enumerate(utts)]
+    for tag, betas in (("1000step", default_noise_schedule()),
+                       ("fast6", fast_noise_schedule())):
+        audio_b = np.asarray(reverse_diffusion(
+            params, apply_fn, jnp.asarray(mel_batch),
+            jax.random.PRNGKey(args.seed), betas=betas, hop=HOP,
+        ), np.float32)
+        for i, (n_frames, mel_gt) in enumerate(utts):
+            mel_rt = analyze_mel(audio_b[i, : n_frames * HOP], n_frames)
+            rows[i][f"mel_l1_{tag}"] = round(
                 float(np.abs(mel_rt - mel_gt).mean()), 4)
-            if i == 0:
-                io.write(os.path.join(out_dir, f"sample_{tag}.wav"),
-                         audio, SR)
+        io.write(os.path.join(out_dir, f"sample_{tag}.wav"),
+                 audio_b[0, : utts[0][0] * HOP], SR)
+        print(tag, "done", flush=True)
+    for i, (n_frames, mel_gt) in enumerate(utts):
         noise = rng.standard_normal(n_frames * HOP).astype(np.float32) * 0.1
-        row["mel_l1_noise_baseline"] = round(
+        rows[i]["mel_l1_noise_baseline"] = round(
             float(np.abs(analyze_mel(noise, n_frames) - mel_gt).mean()), 4)
-        rows.append(row)
-        print(row, flush=True)
+        print(rows[i], flush=True)
+
+    def stat(key):
+        vals = [r[key] for r in rows]
+        return {"mean": round(float(np.mean(vals)), 4),
+                "std": round(float(np.std(vals)), 4)}
 
     results = {
         "held_out_utts": len(rows),
-        "mel_l1_1000step": round(
-            float(np.mean([r["mel_l1_1000step"] for r in rows])), 4),
-        "mel_l1_fast6": round(
-            float(np.mean([r["mel_l1_fast6"] for r in rows])), 4),
-        "mel_l1_noise_baseline": round(
-            float(np.mean([r["mel_l1_noise_baseline"] for r in rows])), 4),
+        "mel_l1_1000step": stat("mel_l1_1000step")["mean"],
+        "mel_l1_1000step_std": stat("mel_l1_1000step")["std"],
+        "mel_l1_fast6": stat("mel_l1_fast6")["mean"],
+        "mel_l1_fast6_std": stat("mel_l1_fast6")["std"],
+        "mel_l1_noise_baseline": stat("mel_l1_noise_baseline")["mean"],
+        "mel_l1_noise_baseline_std": stat("mel_l1_noise_baseline")["std"],
         "per_utt": rows,
         "config": {"ckpt": args.ckpt, "seed": args.seed,
                    "train_steps": 20000, "corpus": "fs2 synthetic (2048 utts)"},

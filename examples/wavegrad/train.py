@@ -49,6 +49,18 @@ def crop_iterator(cfg, batch_size, epochs, seed=0, rank=0, world_size=1):
         utts = [line.strip() for line in f if line.strip()]
     crop = int(cfg.data.crop_frames)
     hop = int(cfg.data.hop_length)
+    # with 256 random crops per step the npy reads dominate host time on
+    # small corpora; cache decoded features when the corpus fits in RAM
+    cache = {} if bool(cfg.data.get("cache_features", False)) else None
+
+    def load(u):
+        if cache is None:
+            return np.load(os.path.join(feature_dir, u + ".npy"),
+                           allow_pickle=True).item()
+        if u not in cache:
+            cache[u] = np.load(os.path.join(feature_dir, u + ".npy"),
+                               allow_pickle=True).item()
+        return cache[u]
     for epoch in range(epochs):
         rng = np.random.default_rng(seed + epoch)
         order = rng.permutation(len(utts))
@@ -63,8 +75,7 @@ def crop_iterator(cfg, batch_size, epochs, seed=0, rank=0, world_size=1):
             mel = np.zeros((len(batch_idx), crop, int(cfg.data.n_mels)), np.float32)
             audio = np.zeros((len(batch_idx), crop * hop), np.float32)
             for i, u in enumerate(batch_idx):
-                d = np.load(os.path.join(feature_dir, utts[u] + ".npy"),
-                            allow_pickle=True).item()
+                d = load(utts[u])
                 t = d["mel"].shape[0]
                 if t <= crop:
                     mel[i, :t] = d["mel"]

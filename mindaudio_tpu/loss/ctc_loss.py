@@ -20,16 +20,19 @@ scheduler:
 Interface: time-major-free, batched, mask-aware, mean over batch like the
 reference's ``reduction='mean'``.
 
-On TPU the scan is not the performance path: ``impl="auto"`` (the default
-on both entry points) routes to the Pallas DP kernel
-(``ops.pallas_ctc.ctc_per_seq_loss_pallas`` — the whole T-step recursion
-runs inside one kernel with the alpha row in VMEM) when the backend is
-TPU, and keeps the scan on CPU, exactly as the reference gets its CTC DP
-from the native ``ops.CTCLossV2`` kernel. Value/grad equality of the two
-paths is asserted in ``tests/test_pallas_ctc.py``. Caveat: under plain
-GSPMD pjit the pallas_call is an opaque custom call (XLA gathers its
-operands); the flagship recipe's data-parallel step is unaffected on one
-chip, and per-shard tracing under ``shard_map`` runs the kernel locally.
+A Pallas DP kernel exists as an explicit alternative
+(``impl="pallas"`` -> ``ops.pallas_ctc.ctc_per_seq_loss_pallas`` — the
+whole T-step recursion inside one kernel with the alpha row in VMEM);
+value/grad equality of the two paths is asserted in
+``tests/test_pallas_ctc.py``. It is NOT the default: the round-5
+within-process full-step A/B on a v5e chip (``benchmarks/ctc_step_ab.py``,
+slope-timed fori_loop pairs, flagship B=32 x 10 s config) measured the
+scan step at 28.15 ms (43.9% MFU) vs 30.02 ms (41.2% MFU) with the
+kernel — the custom call breaks XLA's fusion/overlap around the loss at
+these shapes (B=32, L=20: the DP rows are far smaller than a VPU tile),
+so ``impl="auto"`` keeps the scan everywhere. Caveat if you opt in: under
+plain GSPMD pjit the pallas_call is an opaque custom call (XLA gathers
+its operands); per-shard tracing under ``shard_map`` runs it locally.
 """
 
 from __future__ import annotations
@@ -43,8 +46,9 @@ _LOG_EPS = -1e5
 
 
 def _use_pallas(impl):
-    if impl == "auto":
-        return jax.default_backend() == "tpu"
+    # "auto" is the scan on every backend: the full-step A/B (module
+    # docstring) measured the Pallas kernel 1.9 ms/step SLOWER at flagship
+    # shapes. The kernel stays available as an explicit opt-in.
     return impl == "pallas"
 
 
@@ -52,7 +56,8 @@ def ctc_per_seq_loss(logits, logit_lengths, labels, label_lengths,
                      blank_id=0, unroll=8, impl="auto"):
     """Per-sequence CTC negative log-likelihood, ``(B,)``.
 
-    ``impl``: "auto" (Pallas kernel on TPU, scan elsewhere), "scan", or
+    ``impl``: "auto" (the scan — measured fastest, see module docstring),
+    "scan", or
     "pallas".
     """
     if _use_pallas(impl):
@@ -135,7 +140,8 @@ def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=0,
         blank_id: CTC blank index (reference uses 0 for DS2, vocab-1 option for
             Conformer via config).
         unroll: scan steps fused per loop iteration (scan path only).
-        impl: "auto" (Pallas DP kernel on TPU, scan elsewhere), "scan", or
+        impl: "auto" (the scan — measured fastest, see module docstring),
+            "scan", or
             "pallas".
 
     Returns:

@@ -51,6 +51,9 @@ class ASRModel(nn.Module):
     attention_dropout_rate: float = 0.0
     kernel_size: int = 15
     ctc_weight: float = 0.3
+    # CTC DP implementation: "auto" (the measured-fastest scan), "scan", or
+    # "pallas" (explicit opt-in kernel) — see loss/ctc_loss.py
+    ctc_impl: str = "auto"
     lsm_weight: float = 0.1
     use_dynamic_chunk: bool = False
     static_chunk_size: int = 0
@@ -163,7 +166,8 @@ class ASRModel(nn.Module):
         if self.ctc_weight > 0.0:
             ctc_logits = self.ctc_proj(enc_out)
             loss_ctc = ctc_loss(
-                ctc_logits, enc_lens, batch["labels"], batch["label_lens"]
+                ctc_logits, enc_lens, batch["labels"], batch["label_lens"],
+                impl=self.ctc_impl,
             )
 
         loss = self.ctc_weight * loss_ctc + (1.0 - self.ctc_weight) * loss_att
