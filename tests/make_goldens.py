@@ -121,6 +121,7 @@ def _load_reference_module(path, module_name, extra_modules=(), package=None):
     stubs = {
         "mindspore": stub("mindspore", Tensor=_NeverTensor, Parameter=object,
                           ops=_AnyAttr(), nn=_AnyAttr()),
+        "mindspore.nn": stub("mindspore.nn", Conv1d=object),
         "mindspore.dataset": stub("mindspore.dataset"),
         "mindspore.dataset.engine": stub("mindspore.dataset.engine"),
         "mindspore.dataset.audio": stub("mindspore.dataset.audio"),
@@ -289,6 +290,23 @@ def make_reference_goldens():
     out["aishell/ref_harmonic"] = np.asarray(
         ref_features.harmonic(x.astype(np.float64), kernel_size=17),
         np.float32)
+
+    # --- round-5 additions — augment: the module's deterministic pure-NumPy
+    # functions (reference augment.py:795 time_stretch / 874 pitch_shift /
+    # 282 rms_normalize). The random-path augmentations consume RNG in an
+    # implementation-defined order, so seeded goldens cannot transfer across
+    # rewrites; those stay covered by the repo's distributional tests.
+    ref_augment = _load_reference_module(
+        "/root/reference/mindaudio/data/augment.py", "augment",
+        package="_refdata")
+    out["aishell/ref_time_stretch_1p3"] = np.asarray(
+        ref_augment.time_stretch(x.astype(np.float64), rate=1.3), np.float32)
+    out["aishell/ref_pitch_shift_up4"] = np.asarray(
+        ref_augment.pitch_shift(x.astype(np.float64), sr=sr, n_steps=4),
+        np.float32)
+    out["aishell/ref_rms_normalize"] = np.asarray(
+        ref_augment.rms_normalize(xb), np.float32)
+
     if legacy_alias:
         del np.float_
     return out

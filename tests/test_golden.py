@@ -342,3 +342,36 @@ class TestReferenceDerivedGolden:
         np.testing.assert_allclose(
             features.harmonic(x.astype(np.float64), kernel_size=17),
             g["aishell/ref_harmonic"], rtol=1e-4, atol=1e-5)
+
+    # ---- round-5 additions: augment's deterministic functions ----
+
+    def test_time_stretch_equals_reference(self, g):
+        """reference augment.py:795 time_stretch (Ellis phase vocoder)."""
+        from mindaudio_tpu.data import augment
+
+        x, _ = self._wav(g)
+        y = augment.time_stretch(x, rate=1.3)
+        ref = g["aishell/ref_time_stretch_1p3"]
+        assert y.shape == ref.shape
+        # our f32 phase accumulation vs the reference's f64: ~2e-3 of peak
+        assert np.max(np.abs(y - ref)) < 5e-3 * np.max(np.abs(ref))
+
+    def test_pitch_shift_equals_reference(self, g):
+        """reference augment.py:874 pitch_shift — stretch + resample chain,
+        including the reference's stretched-length output-pad convention."""
+        from mindaudio_tpu.data import augment
+
+        x, sr = self._wav(g)
+        y = augment.pitch_shift(x, sr=sr, n_steps=4)
+        ref = g["aishell/ref_pitch_shift_up4"]
+        assert y.shape == ref.shape
+        assert np.max(np.abs(y - ref)) < 5e-3 * np.max(np.abs(ref))
+
+    def test_rms_normalize_equals_reference(self, g):
+        """reference augment.py:282 rms_normalize (global-RMS variant)."""
+        from mindaudio_tpu.data import augment
+
+        x, _ = self._wav(g)
+        np.testing.assert_allclose(augment.rms_normalize(x[None]),
+                                   g["aishell/ref_rms_normalize"],
+                                   rtol=1e-5, atol=1e-6)
