@@ -27,5 +27,10 @@ if __name__ == "__main__":
         ("d512_b32_bf16", dict(ctc_impl="auto", batch_size=32, **D512)),
         ("d512_b32_int8", dict(ctc_impl="auto", batch_size=32, int8_ffn=True,
                                **D512)),
+        # round-5 batch-scaling legs: does B=64 still pay at d512, and does
+        # remat (recompute activations in bwd) buy enough HBM to matter?
+        ("d512_b64_bf16", dict(ctc_impl="auto", batch_size=64, **D512)),
+        ("d512_b64_remat", dict(ctc_impl="auto", batch_size=64, remat=True,
+                                **D512)),
     ] if name in which]
     main(variants)
