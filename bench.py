@@ -11,7 +11,7 @@
    throughput per chip.
 2. ``conformer_train_mfu`` — model-level headline: full flagship train step
    (on-device kaldi fbank + SpecAugment + 46M-param hybrid CTC/attention
-   Conformer fwd/bwd + AdamW) at batch 16 x 10 s audio. ``value`` is MFU
+   Conformer fwd/bwd + AdamW) at batch 32 x 10 s audio. ``value`` is MFU
    (XLA cost-analysis flops / step time / chip peak bf16 flops, percent);
    extra keys carry step_ms, sub-frames(tokens)/s, utts/s, audio x-realtime.
    ``vs_baseline`` is speedup over the round-1 measured 45 ms/step.
@@ -79,7 +79,7 @@ def _flops_of(compiled) -> float | None:
 
 
 def conformer_train_bench(batch_size=32, seconds=10, label_len=20,
-                          vocab=4233, n_iter=10):
+                          vocab=4233):
     """Flagship train-step benchmark: MFU + tokens/s on the real chip.
 
     B=32 is the recipe default since round 3 (conformer.yaml batch_factor
@@ -172,24 +172,47 @@ def conformer_train_bench(batch_size=32, seconds=10, label_len=20,
         dropout_rng=fast_dropout_rng(1),
     )
 
-    jstep = jax.jit(step, donate_argnums=(0,))
-    compiled = jstep.lower(state, batch).compile()
+    # per-step FLOPs from the single-step compile (a fori_loop compile
+    # reports whole-loop flops, which do not divide back reliably)
+    compiled = jax.jit(step).lower(state, batch).compile()
     flops = _flops_of(compiled)
 
-    # warm up (covers remote-tunnel cold path); call the compiled executable
-    # directly so no retrace/recompile can sneak into the timed loop
-    for _ in range(3):
-        state, loss = compiled(state, batch)
-    float(loss)
+    # Slope timing (same protocol as the mel metric below and
+    # benchmarks/ctc_step_ab.py, pinned in PERF.md round 4/5): the whole
+    # n-step run goes under ONE jitted fori_loop at TWO iteration counts;
+    # (t_hi - t_lo)/(n_hi - n_lo) cancels the ~25 ms/call tunnel dispatch
+    # that the old chained-call loop charged to every step.
+    n_lo, n_hi, reps = 4, 24, 5
 
-    best_dt = float("inf")
-    for _ in range(3):
+    def make_loop(iters):
+        def f(st, batch):
+            def body(i, carry):
+                s, _ = carry
+                return step(s, batch)
+            return jax.lax.fori_loop(0, iters, body,
+                                     (st, jnp.float32(0.0)))
+        return jax.jit(f)
+
+    c_lo = make_loop(n_lo).lower(state, batch).compile()
+    c_hi = make_loop(n_hi).lower(state, batch).compile()
+    state, loss = c_lo(state, batch)
+    state, loss = c_hi(state, batch)
+    float(loss)  # warm both executables + tunnel
+
+    t_lo, t_hi = [], []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(n_iter):
-            state, loss = compiled(state, batch)
-        float(loss)  # sync through data dependency
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt / n_iter
+        state, loss = c_lo(state, batch)
+        float(loss)
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        state, loss = c_hi(state, batch)
+        float(loss)
+        t_hi.append(time.perf_counter() - t0)
+    slopes = sorted((hi - lo) / (n_hi - n_lo)
+                    for lo, hi in zip(sorted(t_lo), sorted(t_hi)))[:3]
+    dt = slopes[0]
+    slope_spread = 100.0 * (slopes[-1] - slopes[0]) / slopes[0]
 
     dev = jax.devices()[0]
     peak = _peak_flops(dev)
@@ -204,6 +227,7 @@ def conformer_train_bench(batch_size=32, seconds=10, label_len=20,
         "unit": "percent_of_peak_bf16",
         "vs_baseline": round(0.045 / dt, 2),
         "step_ms": round(dt * 1e3, 2),
+        "slope_spread_pct": round(slope_spread, 1),
         "tokens_per_sec": round(sub_frames / dt, 1),
         "utts_per_sec": round(batch_size / dt, 1),
         "audio_x_realtime": round(batch_size * seconds / dt, 1),
